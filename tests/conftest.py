@@ -1,0 +1,20 @@
+"""Test configuration: run everything on 8 virtual CPU devices.
+
+This is the TPU-world "fake backend" (SURVEY.md §6): distributed logic
+(mesh sharding, gradient all-reduce, SyncBN) is exercised on host CPU with
+``--xla_force_host_platform_device_count=8`` so tests need no TPU pod.
+Must run before the first ``import jax`` anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,8 @@
+from viddet_tpu.parallel.mesh import (
+    DATA_AXIS,
+    make_mesh,
+    shard_batch,
+    replicate,
+)
+
+__all__ = ["DATA_AXIS", "make_mesh", "shard_batch", "replicate"]

@@ -1,0 +1,56 @@
+"""Device mesh construction and sharding helpers.
+
+The reference's only parallelism is data-parallel gradient aggregation via
+MXNet KVStore / NCCL allreduce (SURVEY.md §3.3).  The TPU-native equivalent
+is a 1-D ``jax.sharding.Mesh`` over the ``data`` axis: batches are sharded
+along it, parameters are replicated, and XLA emits the gradient all-reduce
+over ICI automatically when the jitted train step produces replicated grads.
+SyncBatchNorm semantics come from cross-device batch statistics
+(``axis_name="data"`` in the BatchNorm modules), matching the reference's
+``--syncbn`` flag.
+
+No user-visible communication backend object exists — the mesh IS the
+backend.  Multi-host / multi-slice extends the same mesh via
+``jax.distributed.initialize`` (DCN between slices); nothing else changes.
+
+Everything here also works on CPU with
+``XLA_FLAGS=--xla_force_host_platform_device_count=N`` — that is the test
+backend (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices.
+
+    Device order follows ``jax.devices()`` which is ICI-contiguous on TPU
+    slices, so the gradient all-reduce rides ICI neighbor links.
+    """
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def shard_batch(mesh: Mesh) -> NamedSharding:
+    """Sharding for batch-leading arrays: split dim 0 across ``data``."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (parameters, optimizer state, RNG)."""
+    return NamedSharding(mesh, P())
+
+
+def put_batch(batch, mesh: Mesh):
+    """Device-put a pytree of host arrays with batch-dim sharding."""
+    sharding = shard_batch(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
