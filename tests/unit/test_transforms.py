@@ -1,0 +1,84 @@
+import numpy as np
+
+from viddet_tpu.data import transforms as T
+
+
+def make_image(h=100, w=150):
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8).astype(np.uint8)
+
+
+def test_letterbox_geometry():
+    img = make_image(100, 200)
+    out, affine = T.letterbox(img, (64, 64), pad_value=77)
+    assert out.shape == (64, 64, 3)
+    s, _, dx, dy = affine
+    assert abs(s - 64 / 200) < 1e-6
+    # vertical padding: scaled height = 32 -> 16px pad top and bottom
+    assert dy == 16 and dx == 0
+    assert (out[:16] == 77).all() and (out[-16:] == 77).all()
+
+
+def test_letterbox_box_roundtrip():
+    img = make_image(100, 200)
+    _, affine = T.letterbox(img, (64, 64))
+    boxes = np.array([[10.0, 20.0, 110.0, 80.0, 3.0, 0.0]])
+    mapped = T.apply_affine_to_boxes(boxes, affine)
+    back = T.invert_affine_to_boxes(mapped[:, :4], affine)
+    np.testing.assert_allclose(back, boxes[:, :4], atol=1e-4)
+
+
+def test_affine_preserves_padding_rows():
+    boxes = np.array([[10.0, 10.0, 20.0, 20.0, 1, 0], [-1, -1, -1, -1, -1, -1]])
+    mapped = T.apply_affine_to_boxes(boxes, np.array([2.0, 2.0, 5.0, 5.0]))
+    assert (mapped[1] == -1).all()
+    assert mapped[0, 0] == 25.0
+
+
+def test_train_transform_deterministic_under_seed():
+    img = make_image()
+    label = np.array([[10.0, 10.0, 60.0, 80.0, 2.0, 0.0]])
+    tf = T.TrainTransform(size=(64, 64))
+    out1, lab1 = tf(img, label.copy(), np.random.default_rng(42))
+    out2, lab2 = tf(img, label.copy(), np.random.default_rng(42))
+    np.testing.assert_array_equal(out1, out2)
+    np.testing.assert_array_equal(lab1, lab2)
+    out3, _ = tf(img, label.copy(), np.random.default_rng(43))
+    assert not np.array_equal(out1, out3)
+
+
+def test_train_transform_output_shape_and_range():
+    img = make_image()
+    label = np.array([[10.0, 10.0, 60.0, 80.0, 2.0, 0.0]])
+    tf = T.TrainTransform(size=(96, 64))
+    for seed in range(5):
+        out, lab = tf(img, label.copy(), np.random.default_rng(seed))
+        assert out.shape == (96, 64, 3)
+        assert out.dtype == np.float32
+        valid = lab[(lab[:, 4] >= 0)]
+        if len(valid):
+            assert (valid[:, 0] <= valid[:, 2]).all()
+            assert (valid[:, [0, 2]] <= 64 + 1e-3).all()
+            assert (valid[:, [1, 3]] <= 96 + 1e-3).all()
+
+
+def test_val_transform():
+    img = make_image()
+    label = np.array([[10.0, 10.0, 60.0, 80.0, 2.0, 0.0]])
+    tf = T.ValTransform(size=(64, 64), letterbox_resize=True)
+    out, lab, affine = tf(img, label)
+    assert out.shape == (64, 64, 3)
+    assert affine.shape == (4,)
+
+
+def test_hflip_boxes():
+    img = make_image(10, 100)
+    boxes = np.array([[10.0, 1.0, 30.0, 5.0, 0.0, 0.0]])
+    # force a flip by trying seeds until image changes
+    for seed in range(20):
+        rng = np.random.default_rng(seed)
+        out, ob = T.random_hflip(img, boxes, rng)
+        if not np.array_equal(out, img):
+            np.testing.assert_allclose(ob[0, :4], [70.0, 1.0, 90.0, 5.0])
+            return
+    raise AssertionError("no flip in 20 seeds")

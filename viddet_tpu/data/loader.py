@@ -1,0 +1,183 @@
+"""Batching + prefetching data loader.
+
+Rebuild of the reference's DataLoader-with-batchify (SURVEY.md §2 L4→L2):
+images are stacked, labels are padded to a STATIC max-object count with -1
+(the reference pads to the per-batch max; we fix the count so every batch
+has the same XLA shape — the static-shape precedent the reference's own
+batchify set, taken to its conclusion).
+
+Prefetching: worker threads decode+augment ahead of the training step; a
+final single consumer assembles batches and (optionally) `device_put`s onto
+the mesh so host work overlaps device compute.  OpenCV releases the GIL
+during decode/resize, so threads give real parallelism without the
+fork-based worker pool the reference uses.  The C++ host decode library
+(native/) slots in underneath this API for the streaming video path.
+
+Multi-scale training: pass ``sizes=[(320,320)...(608,608)]`` and the loader
+re-randomizes the target size every ``size_interval`` batches from a FIXED
+bucket list (bounded XLA compile cost — SURVEY.md §8 hard part 3).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+MAX_GT_BOXES = 100  # static padded GT count; VOC/COCO images rarely exceed it
+
+
+def pad_label(label: np.ndarray, max_boxes: int = MAX_GT_BOXES) -> np.ndarray:
+    """(M, 6) -> (max_boxes, 6), -1 padded; overflow boxes dropped."""
+    out = -np.ones((max_boxes, label.shape[1] if label.size else 6), np.float32)
+    m = min(len(label), max_boxes)
+    if m:
+        out[:m] = label[:m]
+    return out
+
+
+class DetectionLoader:
+    """Iterates (images (B,H,W,3) f32, boxes (B,M,4), ids (B,M), extra...).
+
+    Args:
+      dataset: DetectionDataset.
+      transform: callable(image, label, rng) -> (image, label) for training,
+        or callable(image, label) -> (image, label, affine) for eval.
+      batch_size: global batch size.
+      train: shuffling + rng-driven transform + drop_last.
+      sizes: list of (h, w) buckets; a size is drawn per `size_interval`
+        batches (train only; eval uses transform's fixed size).
+      num_workers: prefetch threads (0 = synchronous).
+      seed: RNG seed for shuffling + augmentation.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        transform,
+        batch_size: int,
+        train: bool = False,
+        sizes: Optional[Sequence[Tuple[int, int]]] = None,
+        size_interval: int = 10,
+        num_workers: int = 4,
+        seed: int = 0,
+        max_boxes: int = MAX_GT_BOXES,
+    ):
+        self.dataset = dataset
+        self.transform = transform
+        self.batch_size = batch_size
+        self.train = train
+        self.sizes = list(sizes) if sizes else None
+        self.size_interval = size_interval
+        self.num_workers = num_workers
+        self.seed = seed
+        self.max_boxes = max_boxes
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.train:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _sample(self, idx: int, rng: np.random.Generator, size):
+        image, label = self.dataset[idx]
+        if self.train:
+            if size is not None:
+                self.transform.size = size
+            image, label = self.transform(image, label, rng)
+            affine = None
+        else:
+            image, label, affine = self.transform(image, label)
+        return image, pad_label(label, self.max_boxes), affine, idx
+
+    def __iter__(self) -> Iterator:
+        epoch = self._epoch
+        self._epoch += 1
+        n = len(self.dataset)
+        order = np.arange(n)
+        master = np.random.default_rng((self.seed, epoch))
+        if self.train:
+            master.shuffle(order)
+            order = order[: len(self) * self.batch_size]
+
+        # Per-batch target size (train multi-scale).
+        num_batches = len(self)
+        batch_sizes: List = [None] * num_batches
+        if self.train and self.sizes:
+            current = self.sizes[int(master.integers(len(self.sizes)))]
+            for b in range(num_batches):
+                if b % self.size_interval == 0:
+                    current = self.sizes[int(master.integers(len(self.sizes)))]
+                batch_sizes[b] = current
+
+        def assemble(results):
+            images = np.stack([r[0] for r in results])
+            labels = np.stack([r[1] for r in results])
+            boxes = labels[:, :, :4]
+            ids = labels[:, :, 4].astype(np.int32)
+            difficult = labels[:, :, 5] if labels.shape[2] > 5 else None
+            affines = (
+                np.stack([r[2] for r in results]) if results[0][2] is not None else None
+            )
+            idxs = np.asarray([r[3] for r in results])
+            return images, boxes, ids, difficult, affines, idxs
+
+        if self.num_workers <= 0:
+            for b in range(num_batches):
+                chunk = order[b * self.batch_size : (b + 1) * self.batch_size]
+                rngs = [np.random.default_rng((self.seed, epoch, int(i))) for i in chunk]
+                yield assemble(
+                    [self._sample(int(i), r, batch_sizes[b]) for i, r in zip(chunk, rngs)]
+                )
+            return
+
+        # Threaded prefetch: workers fill per-batch slots; ordered delivery.
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 2)
+        task_q: "queue.Queue" = queue.Queue()
+        for b in range(num_batches):
+            task_q.put(b)
+
+        results_lock = threading.Lock()
+        pending = {}
+
+        def worker():
+            while True:
+                try:
+                    b = task_q.get_nowait()
+                except queue.Empty:
+                    return
+                chunk = order[b * self.batch_size : (b + 1) * self.batch_size]
+                rngs = [np.random.default_rng((self.seed, epoch, int(i))) for i in chunk]
+                batch = assemble(
+                    [self._sample(int(i), r, batch_sizes[b]) for i, r in zip(chunk, rngs)]
+                )
+                with results_lock:
+                    pending[b] = batch
+                out_q.put(b)
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(min(self.num_workers, num_batches))
+        ]
+        for t in threads:
+            t.start()
+
+        delivered = 0
+        next_batch = 0
+        try:
+            while delivered < num_batches:
+                out_q.get()
+                while True:
+                    with results_lock:
+                        batch = pending.pop(next_batch, None)
+                    if batch is None:
+                        break
+                    yield batch
+                    delivered += 1
+                    next_batch += 1
+        finally:
+            for t in threads:
+                t.join(timeout=0.1)

@@ -1,0 +1,84 @@
+"""Model factory — the ``get_model(name)`` surface of the reference stack.
+
+The reference resolves model names via ``gluoncv.model_zoo.get_model`` or
+local constructors (``yolo3_darknet53(classes)`` — SURVEY.md §2 L4→L3).
+Pretrained-weight download is impossible here (no network); weights load
+from local ``.npz`` checkpoints instead (train/state.py schema).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Sequence, Tuple
+
+from viddet_tpu.core.precision import Policy, DEFAULT_POLICY
+from viddet_tpu.data.names import COCO_CLASSES, VID_CLASSES, VOC_CLASSES
+from viddet_tpu.models.yolo3 import YOLOv3
+
+_REGISTRY: Dict[str, Callable[..., Tuple[object, Sequence[str]]]] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def list_models() -> Sequence[str]:
+    return sorted(_REGISTRY)
+
+
+def get_model(name: str, **kwargs):
+    """Returns (flax module, class-name tuple)."""
+    if name not in _REGISTRY:
+        raise ValueError(f"unknown model {name!r}; available: {list_models()}")
+    return _REGISTRY[name](**kwargs)
+
+
+def _yolo(backbone: str, classes, **kwargs):
+    policy = kwargs.pop("policy", DEFAULT_POLICY)
+    bn_axis_name = kwargs.pop("bn_axis_name", None)
+    module = YOLOv3(
+        num_classes=len(classes),
+        backbone=backbone,
+        policy=policy,
+        bn_axis_name=bn_axis_name,
+        **kwargs,
+    )
+    return module, tuple(classes)
+
+
+@register("yolo3_darknet53_voc")
+def yolo3_darknet53_voc(**kw):
+    return _yolo("darknet53", VOC_CLASSES, **kw)
+
+
+@register("yolo3_darknet53_coco")
+def yolo3_darknet53_coco(**kw):
+    return _yolo("darknet53", COCO_CLASSES, **kw)
+
+
+@register("yolo3_darknet53_vid")
+def yolo3_darknet53_vid(**kw):
+    return _yolo("darknet53", VID_CLASSES, **kw)
+
+
+@register("yolo3_tiny_darknet_voc")
+def yolo3_tiny_darknet_voc(**kw):
+    return _yolo("tiny", VOC_CLASSES, **kw)
+
+
+@register("yolo3_tiny_darknet_coco")
+def yolo3_tiny_darknet_coco(**kw):
+    return _yolo("tiny", COCO_CLASSES, **kw)
+
+
+@register("yolo3_tiny_darknet_vid")
+def yolo3_tiny_darknet_vid(**kw):
+    return _yolo("tiny", VID_CLASSES, **kw)
+
+
+def yolo3_custom(classes: Sequence[str], backbone: str = "darknet53", **kw):
+    """Arbitrary class list (combined datasets)."""
+    return _yolo(backbone, classes, **kw)
