@@ -1,0 +1,75 @@
+"""Headline benchmark: YOLOv3-416 (Darknet-53, COCO) frames/sec/chip.
+
+Measures the fused device pipeline the BASELINE.json metric names —
+preprocessed frames -> backbone -> in-graph decode -> class-aware NMS ->
+fixed-shape (ids, scores, boxes) — on one chip, bf16 compute.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / 2000, the BASELINE.json north-star target
+(>2000 frames/sec/chip on TPU v5e); the reference's own published speed is
+~34.5 fps on a Titan X (YOLOv3 paper, BASELINE.md).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_TARGET_FPS = 2000.0  # BASELINE.json north star, v5e
+BATCH = 128
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    from viddet_tpu.models import get_model
+    from viddet_tpu.models.yolo3 import forward_and_postprocess
+
+    module, _ = get_model("yolo3_darknet53_coco")
+    images = jnp.zeros((BATCH, 416, 416, 3), jnp.float32)
+    variables = module.init(jax.random.key(0), images, train=False)
+
+    @jax.jit
+    def infer(variables, images):
+        return forward_and_postprocess(module, variables, images)
+
+    import numpy as np
+
+    rng = jax.random.key(1)
+    frames = jax.random.uniform(rng, (BATCH, 416, 416, 3)).astype(jnp.bfloat16)
+
+    # NOTE on sync: on the experimental `axon` platform block_until_ready
+    # can return before execution finishes; a host fetch (np.asarray) is the
+    # only reliable sync.  Device execution is in-order, so fetching the
+    # LAST iteration's output waits for the whole dispatched stream —
+    # that's sustained throughput, which is the metric.
+    for _ in range(WARMUP):
+        np.asarray(infer(variables, frames)[0])
+
+    start = time.perf_counter()
+    for _ in range(ITERS):
+        out = infer(variables, frames)
+    np.asarray(out[0])
+    elapsed = time.perf_counter() - start
+
+    fps = BATCH * ITERS / elapsed
+    p50_batch_latency_ms = elapsed / ITERS * 1000.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "frames_per_sec_per_chip_yolov3_416_decode_to_boxes",
+                "value": round(fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_TARGET_FPS, 4),
+                "batch": BATCH,
+                "batch_latency_ms": round(p50_batch_latency_ms, 2),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Two-stage logits NMS and the Pallas greedy kernel vs the dense oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viddet_tpu.ops.nms import multiclass_nms, multiclass_nms_from_logits, nms_keep_mask
+from viddet_tpu.ops.nms_pallas import nms_keep_mask_pallas
+
+
+def random_candidates(rng, b, n, c):
+    pts = rng.uniform(0, 300, size=(b, n, 2, 2)).astype(np.float32)
+    boxes = np.concatenate([pts.min(2), pts.max(2)], axis=-1)
+    obj_logits = rng.normal(size=(b, n, 1)).astype(np.float32)
+    cls_logits = rng.normal(size=(b, n, c)).astype(np.float32) * 2.0
+    return jnp.asarray(boxes), jnp.asarray(obj_logits), jnp.asarray(cls_logits)
+
+
+def test_two_stage_matches_dense_oracle():
+    rng = np.random.default_rng(0)
+    boxes, obj_logits, cls_logits = random_candidates(rng, 2, 300, 7)
+    scores = jax.nn.sigmoid(obj_logits) * jax.nn.sigmoid(cls_logits)
+    kw = dict(iou_thresh=0.5, valid_thresh=0.01, topk=64, post_nms=32)
+    want = multiclass_nms(boxes, scores, **kw)
+    got = multiclass_nms_from_logits(boxes, obj_logits, cls_logits, backend="xla", **kw)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5)
+
+
+def test_pallas_kernel_matches_jnp_greedy_interpret():
+    rng = np.random.default_rng(1)
+    b, k = 3, 64
+    pts = rng.uniform(0, 100, size=(b, k, 2, 2)).astype(np.float32)
+    boxes = np.concatenate([pts.min(2), pts.max(2)], axis=-1)
+    valid = rng.uniform(size=(b, k)) > 0.2
+    got = np.asarray(
+        nms_keep_mask_pallas(
+            jnp.asarray(boxes), jnp.asarray(valid), 0.5, interpret=True
+        )
+    )
+    for i in range(b):
+        want = np.asarray(
+            nms_keep_mask(jnp.asarray(boxes[i]), None, jnp.asarray(valid[i]), 0.5)
+        )
+        np.testing.assert_array_equal(got[i] > 0.5, want)
+
+
+def test_two_stage_pallas_interpret_matches_xla():
+    rng = np.random.default_rng(2)
+    boxes, obj_logits, cls_logits = random_candidates(rng, 2, 200, 5)
+    kw = dict(iou_thresh=0.45, valid_thresh=0.01, topk=48, post_nms=24)
+    a = multiclass_nms_from_logits(boxes, obj_logits, cls_logits, backend="xla", **kw)
+    b_ = multiclass_nms_from_logits(
+        boxes, obj_logits, cls_logits, backend="pallas_interpret", **kw
+    )
+    for x, y in zip(a, b_):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
+
+def test_two_stage_bf16_logits():
+    rng = np.random.default_rng(3)
+    boxes, obj_logits, cls_logits = random_candidates(rng, 1, 100, 4)
+    got = multiclass_nms_from_logits(
+        boxes,
+        obj_logits.astype(jnp.bfloat16),
+        cls_logits.astype(jnp.bfloat16),
+        topk=32,
+        post_nms=16,
+        backend="xla",
+    )
+    ids, scores, out_boxes = (np.asarray(g) for g in got)
+    assert ids.shape == (1, 16) and out_boxes.shape == (1, 16, 4)
+    kept = scores[0] >= 0
+    assert kept.any()
+    assert np.all(np.diff(scores[0][kept]) <= 1e-6)

@@ -1,0 +1,97 @@
+"""Shared CLI plumbing: dataset factories, model/weight loading, logging.
+
+The reference's scripts are flat-argparse ``main()``s (SURVEY.md §2 L5);
+this module centralizes the repeated parts so the CLIs stay thin while
+keeping the same flag surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def setup_logging(save_prefix: Optional[str] = None) -> logging.Logger:
+    """Console + ``<save_prefix>_train.log`` logging, reference format."""
+    logger = logging.getLogger("viddet_tpu")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if save_prefix:
+        os.makedirs(os.path.dirname(os.path.abspath(save_prefix)) or ".", exist_ok=True)
+        fh = logging.FileHandler(f"{save_prefix}_train.log")
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    return logger
+
+
+def get_dataset(name: str, root: str, split: str = "train"):
+    """Dataset factory keyed by the reference's ``--dataset`` values.
+
+    Returns (dataset, metric_factory) where metric_factory(class_names)
+    builds the dataset's eval metric.
+    """
+    name = name.lower()
+    if name == "voc":
+        from viddet_tpu.data.voc import VOCDetection
+        from viddet_tpu.eval.voc_map import VOC07MApMetric
+
+        if split == "train":
+            ds = VOCDetection(root, splits=(("2007", "trainval"), ("2012", "trainval")))
+        else:
+            ds = VOCDetection(root, splits=(("2007", "test"),))
+        return ds, lambda names: VOC07MApMetric(iou_thresh=0.5, class_names=names)
+    if name == "coco":
+        from viddet_tpu.data.coco import COCODetection
+        from viddet_tpu.eval.coco_eval import COCODetectionMetric
+
+        if split == "train":
+            ds = COCODetection(root, split="train2017")
+        else:
+            ds = COCODetection(root, split="val2017")
+        return ds, lambda names: COCODetectionMetric(ds)
+    if name == "det":
+        from viddet_tpu.data.imgnetdet import ImageNetDetection
+        from viddet_tpu.eval.voc_map import VOC07MApMetric
+
+        ds = ImageNetDetection(root, split="train" if split == "train" else "val")
+        return ds, lambda names: VOC07MApMetric(iou_thresh=0.5, class_names=names)
+    if name == "vid":
+        from viddet_tpu.data.imgnetvid import ImageNetVidDetection
+        from viddet_tpu.eval.vid_motion_iou import VIDDetectionMetric
+
+        ds = ImageNetVidDetection(root, split="train" if split == "train" else "val")
+        return ds, lambda names: VIDDetectionMetric(ds, class_names=names)
+    raise ValueError(f"unknown dataset {name!r} (voc|coco|det|vid)")
+
+
+def build_model(network: str, dataset: str, num_classes: Optional[int] = None, **kw):
+    """Model factory from (--network, --dataset) as the reference composes
+    names like ``yolo3_darknet53_voc``."""
+    from viddet_tpu.models import get_model
+
+    name = f"{network}_{dataset.lower()}"
+    return get_model(name, **kw)
+
+
+def load_weights(module, weights_path: str, image_size: int = 416):
+    """Init-then-restore: structure from module.init, values from .npz."""
+    import jax.numpy as jnp
+
+    from viddet_tpu.train.state import load_weights_npz
+
+    x = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    variables = module.init(jax.random.key(0), x, train=False)
+    if weights_path:
+        params, batch_stats = load_weights_npz(weights_path)
+        variables = {"params": params, "batch_stats": batch_stats}
+    return variables

@@ -1,0 +1,146 @@
+"""Detection CLI — images, image directories, videos, or webcams.
+
+Rebuild of the reference's ``detect.py`` (SURVEY.md §4.3): decode ->
+letterbox -> fused forward+NMS on device -> rescale to original coords ->
+draw / write detections.  Single-image and directory paths run batched;
+video input uses the streaming pipeline (infer/stream.py) so decode overlaps
+device compute.
+
+Example:
+  python -m viddet_tpu.cli.detect --network yolo3_tiny_darknet --dataset voc \
+      --weights model.npz --input image.jpg --output out/ --thresh 0.5
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viddet_tpu.cli.common import build_model, load_weights, setup_logging
+from viddet_tpu.data.base import imread_rgb
+from viddet_tpu.data.transforms import ValTransform, invert_affine_to_boxes
+from viddet_tpu.utils.image import draw_detections
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Run object detection.")
+    p.add_argument("--network", default="yolo3_darknet53")
+    p.add_argument("--dataset", default="voc", help="class set: voc|coco|vid")
+    p.add_argument("--weights", default="", help=".npz weights (random if empty)")
+    p.add_argument("--input", required=True, help="image / dir / video file")
+    p.add_argument("--output", default="results", help="output directory")
+    p.add_argument("--data-shape", type=int, default=416)
+    p.add_argument("--thresh", type=float, default=0.5)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--every", type=int, default=1, help="process every nth frame")
+    p.add_argument("--save-detections", action="store_true", help="write det .txt")
+    p.add_argument("--no-draw", action="store_true")
+    return p.parse_args(argv)
+
+
+IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+
+
+def collect_inputs(path: str):
+    if os.path.isdir(path):
+        files = sorted(
+            f for f in glob.glob(os.path.join(path, "*"))
+            if f.lower().endswith(IMAGE_EXTS)
+        )
+        return "images", files
+    if path.lower().endswith(VIDEO_EXTS):
+        return "video", [path]
+    return "images", [path]
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logger = setup_logging()
+    os.makedirs(args.output, exist_ok=True)
+
+    module, class_names = build_model(args.network, args.dataset)
+    variables = load_weights(module, args.weights, args.data_shape)
+
+    from viddet_tpu.models.yolo3 import forward_and_postprocess
+
+    @jax.jit
+    def infer(variables, images):
+        return forward_and_postprocess(module, variables, images)
+
+    size = (args.data_shape, args.data_shape)
+    transform = ValTransform(size=size, letterbox_resize=True)
+
+    kind, files = collect_inputs(args.input)
+    if kind == "video":
+        from viddet_tpu.infer.stream import stream_detect_video
+
+        stream_detect_video(
+            files[0],
+            infer,
+            variables,
+            transform,
+            class_names,
+            output_dir=args.output,
+            thresh=args.thresh,
+            batch_size=args.batch_size,
+            every=args.every,
+            draw=not args.no_draw,
+            save_detections=args.save_detections,
+            logger=logger,
+        )
+        return
+
+    logger.info("detecting on %d image(s)", len(files))
+    t0 = time.time()
+    num_done = 0
+    for start in range(0, len(files), args.batch_size):
+        chunk = files[start : start + args.batch_size]
+        frames, affines = [], []
+        for f in chunk:
+            img = imread_rgb(f)
+            x, _, affine = transform(img)
+            frames.append(x)
+            affines.append(affine)
+        batch = np.stack(frames)
+        # pad to full batch so only one XLA shape compiles
+        if len(chunk) < args.batch_size:
+            batch = np.concatenate(
+                [batch, np.zeros((args.batch_size - len(chunk),) + batch.shape[1:], batch.dtype)]
+            )
+        ids, scores, boxes = (np.asarray(r) for r in infer(variables, jnp.asarray(batch)))
+        for i, f in enumerate(chunk):
+            orig = imread_rgb(f)
+            restored = invert_affine_to_boxes(boxes[i], affines[i])
+            stem = os.path.splitext(os.path.basename(f))[0]
+            if args.save_detections:
+                with open(os.path.join(args.output, f"{stem}.txt"), "w") as out:
+                    for cid, s, bb in zip(ids[i], scores[i], restored):
+                        if cid >= 0 and s >= args.thresh:
+                            out.write(
+                                f"{class_names[int(cid)]} {s:.4f} "
+                                f"{bb[0]:.1f} {bb[1]:.1f} {bb[2]:.1f} {bb[3]:.1f}\n"
+                            )
+            if not args.no_draw:
+                vis = draw_detections(
+                    orig, restored, ids[i], scores[i], class_names, args.thresh
+                )
+                import cv2
+
+                cv2.imwrite(
+                    os.path.join(args.output, f"{stem}_det.jpg"),
+                    cv2.cvtColor(vis, cv2.COLOR_RGB2BGR),
+                )
+            num_done += 1
+    dt = time.time() - t0
+    logger.info("done: %d images in %.2fs (%.1f img/s)", num_done, dt, num_done / dt)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Evaluation CLI — mAP on VOC / COCO / DET / VID.
+
+Rebuild of the reference's ``evaluate.py`` (SURVEY.md §4.2): build the val
+loader and dataset metric, run the fused forward+NMS, rescale detections to
+original image coordinates, accumulate, print the per-class table.
+
+Example:
+  python -m viddet_tpu.cli.evaluate --network yolo3_darknet53 --dataset voc \
+      --data-root /data/VOCdevkit --weights model.npz --data-shape 416
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viddet_tpu.cli.common import build_model, get_dataset, load_weights, setup_logging
+from viddet_tpu.data.loader import DetectionLoader
+from viddet_tpu.data.transforms import ValTransform, invert_affine_to_boxes
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate a detector.")
+    p.add_argument("--network", default="yolo3_darknet53")
+    p.add_argument("--dataset", default="voc")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--weights", default="", help=".npz weights (random if empty)")
+    p.add_argument("--data-shape", type=int, default=416)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--letterbox", action="store_true", default=False)
+    p.add_argument("--max-images", type=int, default=0, help="0 = all")
+    return p.parse_args(argv)
+
+
+def evaluate(module, variables, dataset, metric, args, logger):
+    from viddet_tpu.models.yolo3 import forward_and_postprocess
+
+    @jax.jit
+    def infer(variables, images):
+        return forward_and_postprocess(module, variables, images)
+
+    size = (args.data_shape, args.data_shape)
+    loader = DetectionLoader(
+        dataset,
+        ValTransform(size=size, letterbox_resize=args.letterbox),
+        batch_size=args.batch_size,
+        train=False,
+        num_workers=args.num_workers,
+    )
+    t0 = time.time()
+    seen = 0
+    for images, gt_boxes, gt_ids, difficult, affines, idxs in loader:
+        batch = images
+        if batch.shape[0] < args.batch_size:  # pad last batch: one XLA shape
+            pad = args.batch_size - batch.shape[0]
+            batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
+        ids, scores, boxes = (np.asarray(r) for r in infer(variables, jnp.asarray(batch)))
+        n = images.shape[0]
+        ids, scores, boxes = ids[:n], scores[:n], boxes[:n]
+        # metric protocol runs in ORIGINAL image coordinates
+        boxes_orig = np.stack(
+            [invert_affine_to_boxes(boxes[i], affines[i]) for i in range(n)]
+        )
+        gt_orig = np.stack(
+            [invert_affine_to_boxes(gt_boxes[i], affines[i]) for i in range(n)]
+        )
+        gt_orig[gt_ids < 0] = -1.0
+        if hasattr(metric, "update_with_indices"):
+            metric.update_with_indices(boxes_orig, ids, scores, idxs[:n])
+        else:
+            metric.update(boxes_orig, ids, scores, gt_orig, gt_ids[:n], difficult[:n] if difficult is not None else None)
+        seen += n
+        if args.max_images and seen >= args.max_images:
+            break
+    dt = time.time() - t0
+    logger.info("evaluated %d images in %.1fs (%.1f img/s)", seen, dt, seen / dt)
+    return metric.get()
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logger = setup_logging()
+    dataset, metric_factory = get_dataset(args.dataset, args.data_root, split="val")
+    module, class_names = build_model(args.network, args.dataset)
+    variables = load_weights(module, args.weights, args.data_shape)
+    metric = metric_factory(class_names)
+    names, values = evaluate(module, variables, dataset, metric, args, logger)
+    width = max(len(str(n)) for n in names)
+    for name, value in zip(names, values):
+        logger.info("%-*s %s", width, name, f"{value:.4f}" if isinstance(value, float) else value)
+
+
+if __name__ == "__main__":
+    main()

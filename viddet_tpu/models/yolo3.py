@@ -162,13 +162,17 @@ class YOLOv3(nn.Module):
             raws.append(out.reshape(b, h * w * na, num_pred))
             consts.append(_scale_constants(h, w, anchors[i], strides[i]))
 
-        raw = jnp.concatenate(raws, axis=1).astype(jnp.float32)  # (B, N, 5+C)
+        # Keep the big head tensor in compute dtype (bf16): the dense
+        # (B, N, C) class logits are only ever reduced/gathered by the
+        # two-stage NMS (ops/nms.py) or upcast per-term by the loss, so a
+        # float32 materialization here would cost pure HBM bandwidth.
+        raw = jnp.concatenate(raws, axis=1)  # (B, N, 5+C), compute dtype
         grid_xy = jnp.concatenate([c[0] for c in consts], axis=0)
         anchor_wh = jnp.concatenate([c[1] for c in consts], axis=0)
         stride_n = jnp.concatenate([c[2] for c in consts], axis=0)
 
-        raw_xy = raw[..., 0:2]
-        raw_wh = raw[..., 2:4]
+        raw_xy = raw[..., 0:2].astype(jnp.float32)
+        raw_wh = raw[..., 2:4].astype(jnp.float32)
         raw_obj = raw[..., 4:5]
         raw_cls = raw[..., 5:]
 
@@ -177,15 +181,13 @@ class YOLOv3(nn.Module):
         wh = jnp.exp(raw_wh) * anchor_wh
         half = 0.5 * wh
         boxes = jnp.concatenate([center - half, center + half], axis=-1)
-        scores = jax.nn.sigmoid(raw_obj) * jax.nn.sigmoid(raw_cls)
 
         return {
             "raw_xy": raw_xy,
             "raw_wh": raw_wh,
-            "raw_obj": raw_obj,
-            "raw_cls": raw_cls,
+            "raw_obj": raw_obj,  # compute dtype; upcast at point of use
+            "raw_cls": raw_cls,  # compute dtype; upcast at point of use
             "boxes": boxes,
-            "scores": scores,
             "grid_xy": grid_xy,
             "anchors": anchor_wh,
             "strides": stride_n,
@@ -196,25 +198,40 @@ class YOLOv3(nn.Module):
 class NMSConfig:
     """Post-processing knobs, defaults per the recalled reference surface
     (``nms_thresh=0.45, topk=400, post_nms=100`` — SURVEY.md §4.4; exact
-    counts flagged K-low there, re-verify when the reference is mounted)."""
+    counts flagged K-low there, re-verify when the reference is mounted).
+
+    backend: "auto" picks the Pallas greedy-scan kernel on TPU and the jnp
+    loop elsewhere; "xla" / "pallas" / "pallas_interpret" force a choice.
+    """
 
     iou_thresh: float = 0.45
     valid_thresh: float = 0.01
     topk: int = 400
     post_nms: int = 100
+    backend: str = "auto"
+
+    def resolved_backend(self) -> str:
+        if self.backend != "auto":
+            return self.backend
+        platform = jax.devices()[0].platform
+        return "xla" if platform == "cpu" else "pallas"
 
 
 def postprocess(
     outputs: Dict[str, jnp.ndarray], nms: NMSConfig = NMSConfig()
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decoded outputs -> (ids, scores, boxes), fixed-shape, -1 padded."""
-    return multiclass_nms(
+    from viddet_tpu.ops.nms import multiclass_nms_from_logits
+
+    return multiclass_nms_from_logits(
         outputs["boxes"],
-        outputs["scores"],
+        outputs["raw_obj"],
+        outputs["raw_cls"],
         iou_thresh=nms.iou_thresh,
         valid_thresh=nms.valid_thresh,
         topk=nms.topk,
         post_nms=nms.post_nms,
+        backend=nms.resolved_backend(),
     )
 
 

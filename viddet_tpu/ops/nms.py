@@ -66,6 +66,24 @@ def nms_keep_mask(
     return jax.lax.fori_loop(0, k, body, valid)
 
 
+def _compact_and_pad(cand_boxes, top_scores, cls_idx, keep, post_nms):
+    """Move kept candidates to the front (score order), pad with -1."""
+    order = jnp.argsort(~keep, stable=True)
+    take = order[:post_nms]
+    kept = keep[take]
+    out_ids = jnp.where(kept, cls_idx[take], -1.0)
+    out_scores = jnp.where(kept, top_scores[take], -1.0)
+    out_boxes = jnp.where(kept[:, None], cand_boxes[take], -1.0)
+    return out_ids, out_scores, out_boxes
+
+
+def _class_offset(cand_boxes, cls_idx):
+    """Shift each class into a disjoint coordinate region so cross-class IoU
+    is exactly 0 (class-aware NMS via a single class-agnostic pass)."""
+    span = jnp.maximum(jnp.max(jnp.abs(cand_boxes)), 1.0) + 1.0
+    return cand_boxes + (cls_idx * 2.0 * span)[:, None]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("iou_thresh", "valid_thresh", "topk", "post_nms"),
@@ -105,20 +123,92 @@ def multiclass_nms(
         cand_boxes = boxes_i[anchor_idx]  # (k, 4)
         valid = top_scores > valid_thresh
 
-        # Class-aware suppression via the coordinate-offset trick: shift each
-        # class into its own disjoint region so cross-class IoU is exactly 0.
-        span = jnp.maximum(jnp.max(jnp.abs(cand_boxes)), 1.0) + 1.0
-        offset = (cls_idx * 2.0 * span)[:, None]
-        keep = nms_keep_mask(cand_boxes + offset, top_scores, valid, iou_thresh)
-
-        # Compact kept candidates to the front (stable, score order preserved)
-        # then truncate to post_nms.
-        order = jnp.argsort(~keep, stable=True)
-        take = order[:post_nms]
-        kept = keep[take]
-        out_ids = jnp.where(kept, cls_idx[take], -1.0)
-        out_scores = jnp.where(kept, top_scores[take], -1.0)
-        out_boxes = jnp.where(kept[:, None], cand_boxes[take], -1.0)
-        return out_ids, out_scores, out_boxes
+        keep = nms_keep_mask(
+            _class_offset(cand_boxes, cls_idx), top_scores, valid, iou_thresh
+        )
+        return _compact_and_pad(cand_boxes, top_scores, cls_idx, keep, post_nms)
 
     return jax.vmap(single)(boxes, scores)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iou_thresh", "valid_thresh", "topk", "post_nms", "backend"),
+)
+def multiclass_nms_from_logits(
+    boxes: jnp.ndarray,
+    obj_logits: jnp.ndarray,
+    cls_logits: jnp.ndarray,
+    *,
+    iou_thresh: float = 0.45,
+    valid_thresh: float = 0.01,
+    topk: int = 400,
+    post_nms: int = 100,
+    backend: str = "xla",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Two-stage exact top-k + class-aware NMS, straight from head logits.
+
+    TPU hot path.  Equivalent to ``multiclass_nms(boxes, sigmoid(obj)*
+    sigmoid(cls))`` (up to score ties) but never materializes the dense
+    (B, N, C) float32 score tensor, and the top-k over N*C candidates is
+    replaced by two small top-ks:
+
+      1. rank anchors by their best class score — exact because
+         ``max_c sigmoid(obj)·sigmoid(cls_c) = sigmoid(obj)·sigmoid(max_c
+         cls_c)`` (sigmoid is monotone), so an anchor outside the top-k by
+         max-class score cannot contribute any top-k (anchor, class) pair;
+      2. expand only those k anchors' class scores and rank the k·C pairs.
+
+    Args:
+      boxes: (B, N, 4) float32 decoded boxes.
+      obj_logits: (B, N, 1) objectness logits (any float dtype).
+      cls_logits: (B, N, C) class logits (any float dtype; bf16 stays bf16
+        until the k·C slice is gathered).
+      backend: "xla" (jnp greedy loop), "pallas" (TPU kernel),
+        "pallas_interpret" (kernel in interpreter mode, for CPU tests).
+
+    Returns (ids, scores, boxes) fixed-shape, -1 padded (see multiclass_nms).
+    """
+    b, n, c = cls_logits.shape
+    k = min(topk, n)
+
+    obj = jax.nn.sigmoid(obj_logits[..., 0].astype(jnp.float32))  # (B, N)
+    cls_max = jnp.max(cls_logits, axis=-1).astype(jnp.float32)  # (B, N)
+    anchor_score = obj * jax.nn.sigmoid(cls_max)
+
+    _, a_idx = jax.lax.top_k(anchor_score, k)  # (B, k)
+    boxes_k = jnp.take_along_axis(boxes, a_idx[..., None], axis=1)  # (B, k, 4)
+    cls_k = jnp.take_along_axis(cls_logits, a_idx[..., None], axis=1).astype(
+        jnp.float32
+    )  # (B, k, C)
+    obj_k = jnp.take_along_axis(obj, a_idx, axis=1)  # (B, k)
+
+    pair_scores = obj_k[..., None] * jax.nn.sigmoid(cls_k)  # (B, k, C)
+    top_scores, p_idx = jax.lax.top_k(pair_scores.reshape(b, k * c), min(topk, k * c))
+    if top_scores.shape[1] < topk:  # k*c < topk: pad (tiny class counts)
+        pad = topk - top_scores.shape[1]
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)), constant_values=-1.0)
+        p_idx = jnp.pad(p_idx, ((0, 0), (0, pad)))
+    anchor2 = p_idx // c  # (B, topk) index into boxes_k
+    cls_idx = (p_idx % c).astype(jnp.float32)
+    cand_boxes = jnp.take_along_axis(boxes_k, anchor2[..., None], axis=1)
+    valid = top_scores > valid_thresh
+
+    offset_boxes = jax.vmap(_class_offset)(cand_boxes, cls_idx)
+    if backend == "xla":
+        keep = jax.vmap(lambda bb, vv: nms_keep_mask(bb, None, vv, iou_thresh))(
+            offset_boxes, valid
+        )
+    else:
+        from viddet_tpu.ops.nms_pallas import nms_keep_mask_pallas
+
+        keep = nms_keep_mask_pallas(
+            offset_boxes,
+            valid,
+            iou_thresh,
+            interpret=(backend == "pallas_interpret"),
+        ) > 0.5
+
+    return jax.vmap(_compact_and_pad, in_axes=(0, 0, 0, 0, None))(
+        cand_boxes, top_scores, cls_idx, keep, post_nms
+    )

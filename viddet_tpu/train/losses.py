@@ -81,7 +81,9 @@ def yolo_loss(
     def reduce(x):
         return jnp.sum(x.reshape(b, -1), axis=1).mean()
 
-    obj_loss = reduce(sigmoid_bce(outputs["raw_obj"], t["objectness"]) * obj_mask)
+    raw_obj = outputs["raw_obj"].astype(jnp.float32)
+    raw_cls = outputs["raw_cls"].astype(jnp.float32)
+    obj_loss = reduce(sigmoid_bce(raw_obj, t["objectness"]) * obj_mask)
     center_loss = reduce(
         sigmoid_bce(outputs["raw_xy"], t["center"]) * t["weight"] * pos
     )
@@ -91,7 +93,7 @@ def yolo_loss(
     if label_smooth:
         smooth = min(1.0 / num_classes, 1.0 / 40.0)
         cls_t = jnp.where(cls_t > 0.5, cls_t - smooth, smooth)
-    cls_loss = reduce(sigmoid_bce(outputs["raw_cls"], cls_t) * t["class_mask"] * pos)
+    cls_loss = reduce(sigmoid_bce(raw_cls, cls_t) * t["class_mask"] * pos)
 
     total = obj_loss + center_loss + scale_loss + cls_loss
     return {

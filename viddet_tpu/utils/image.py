@@ -1,0 +1,53 @@
+"""Box drawing / per-class colors (rebuild of the reference's utils/image.py,
+SURVEY.md §3.1 item 16)."""
+
+from __future__ import annotations
+
+import colorsys
+from typing import Optional, Sequence
+
+import cv2
+import numpy as np
+
+
+def class_colors(num_classes: int) -> np.ndarray:
+    """Deterministic visually-distinct BGR colors, one per class."""
+    colors = []
+    for i in range(max(num_classes, 1)):
+        h = (i * 0.618033988749895) % 1.0
+        r, g, b = colorsys.hsv_to_rgb(h, 0.8, 0.95)
+        colors.append((int(b * 255), int(g * 255), int(r * 255)))
+    return np.asarray(colors, np.int32)
+
+
+def draw_detections(
+    image: np.ndarray,
+    boxes: np.ndarray,
+    ids: np.ndarray,
+    scores: np.ndarray,
+    class_names: Optional[Sequence[str]] = None,
+    thresh: float = 0.5,
+) -> np.ndarray:
+    """Draw detections on an RGB uint8 image (returns a copy).
+
+    boxes (K, 4) corner coords in image pixels; ids/scores (K,); padding -1.
+    """
+    out = image.copy()
+    num_classes = len(class_names) if class_names else int(max(ids.max(), 0)) + 1
+    colors = class_colors(num_classes)
+    for box, cid, score in zip(boxes, ids, scores):
+        if cid < 0 or score < thresh:
+            continue
+        cid = int(cid)
+        color = tuple(int(c) for c in colors[cid % len(colors)])
+        x1, y1, x2, y2 = (int(round(v)) for v in box)
+        cv2.rectangle(out, (x1, y1), (x2, y2), color, 2)
+        name = class_names[cid] if class_names and cid < len(class_names) else str(cid)
+        label = f"{name} {score:.2f}"
+        (tw, th), _ = cv2.getTextSize(label, cv2.FONT_HERSHEY_SIMPLEX, 0.5, 1)
+        cv2.rectangle(out, (x1, y1 - th - 6), (x1 + tw + 2, y1), color, -1)
+        cv2.putText(
+            out, label, (x1 + 1, y1 - 4), cv2.FONT_HERSHEY_SIMPLEX, 0.5,
+            (255, 255, 255), 1, cv2.LINE_AA,
+        )
+    return out
