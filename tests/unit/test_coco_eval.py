@@ -1,0 +1,133 @@
+"""Hand-scored fixtures for the in-repo COCO-protocol evaluator."""
+
+import numpy as np
+
+from viddet_tpu.eval.coco_eval import COCOEvalBBox
+
+
+def big(x1, y1, w, h):
+    return [x1, y1, x1 + w, y1 + h]
+
+
+def test_perfect_single_detection():
+    ev = COCOEvalBBox(num_classes=2)
+    ev.add_image(
+        1,
+        gt_boxes=[big(10, 10, 100, 100)], gt_classes=[0], gt_crowd=[0],
+        dt_boxes=[big(10, 10, 100, 100)], dt_classes=[0], dt_scores=[0.9],
+    )
+    s = ev.summarize()
+    assert s["AP"] == 1.0 and s["AP50"] == 1.0 and s["AP75"] == 1.0
+    assert s["AR_100"] == 1.0
+    assert s["AP_small"] == -1.0  # no small GT -> undefined
+    assert s["AP_large"] == 1.0
+
+
+def test_iou_60_passes_only_low_thresholds():
+    # IoU = 0.6 exactly: 100x60 detection on 100x100 gt, full-width overlap
+    ev = COCOEvalBBox(num_classes=1)
+    ev.add_image(
+        1,
+        gt_boxes=[big(0, 0, 100, 100)], gt_classes=[0], gt_crowd=[0],
+        dt_boxes=[big(0, 0, 100, 60)], dt_classes=[0], dt_scores=[0.9],
+    )
+    s = ev.summarize()
+    # matches at IoU thr 0.50 and 0.55 only (0.6 > thr strictly? protocol
+    # uses iou >= thr via best_iou init min(thr, 1-eps)) -> thr 0.5, 0.55, 0.6
+    assert abs(s["AP50"] - 1.0) < 1e-9
+    assert s["AP75"] == 0.0
+    assert abs(s["AP"] - 3 / 10) < 1e-9
+
+
+def test_crowd_gt_is_ignore_region():
+    ev = COCOEvalBBox(num_classes=1)
+    # detection inside a crowd region: matched to crowd -> ignored, not FP;
+    # plus a regular GT matched by another detection.
+    ev.add_image(
+        1,
+        gt_boxes=[big(0, 0, 50, 50), big(100, 100, 50, 50)],
+        gt_classes=[0, 0], gt_crowd=[1, 0],
+        dt_boxes=[big(10, 10, 20, 20), big(100, 100, 50, 50)],
+        dt_classes=[0, 0], dt_scores=[0.8, 0.9],
+    )
+    s = ev.summarize()
+    assert s["AP"] == 1.0  # crowd match neither helps nor hurts
+
+
+def test_false_positive_after_tp():
+    ev = COCOEvalBBox(num_classes=1)
+    ev.add_image(
+        1,
+        gt_boxes=[big(0, 0, 50, 50)], gt_classes=[0], gt_crowd=[0],
+        dt_boxes=[big(0, 0, 50, 50), big(200, 200, 50, 50)],
+        dt_classes=[0, 0], dt_scores=[0.9, 0.8],
+    )
+    s = ev.summarize()
+    assert s["AP"] == 1.0  # FP ranked after recall saturates
+
+
+def test_fp_ranked_first_halves_ap50():
+    ev = COCOEvalBBox(num_classes=1)
+    ev.add_image(
+        1,
+        gt_boxes=[big(0, 0, 50, 50)], gt_classes=[0], gt_crowd=[0],
+        dt_boxes=[big(200, 200, 50, 50), big(0, 0, 50, 50)],
+        dt_classes=[0, 0], dt_scores=[0.9, 0.8],
+    )
+    s = ev.summarize()
+    # precision at every achieved recall level is 1/2
+    assert abs(s["AP50"] - 0.5) < 0.01
+
+
+def test_missed_gt():
+    ev = COCOEvalBBox(num_classes=1)
+    ev.add_image(
+        1,
+        gt_boxes=[big(0, 0, 50, 50), big(100, 0, 50, 50)],
+        gt_classes=[0, 0], gt_crowd=[0, 0],
+        dt_boxes=[big(0, 0, 50, 50)], dt_classes=[0], dt_scores=[0.9],
+    )
+    s = ev.summarize()
+    # recall 0.5 at precision 1 -> 101-pt AP ≈ 51/101
+    assert abs(s["AP50"] - 51 / 101) < 1e-9
+    assert abs(s["AR_100"] - 0.5) < 1e-9
+
+
+def test_small_area_bucket():
+    ev = COCOEvalBBox(num_classes=1)
+    ev.add_image(
+        1,
+        gt_boxes=[big(0, 0, 10, 10)], gt_classes=[0], gt_crowd=[0],  # area 100 < 32²
+        dt_boxes=[big(0, 0, 10, 10)], dt_classes=[0], dt_scores=[0.9],
+    )
+    s = ev.summarize()
+    assert s["AP_small"] == 1.0
+    assert s["AP_medium"] == -1.0
+    assert s["AP"] == 1.0
+
+
+def test_maxdet_1_limits_recall():
+    ev = COCOEvalBBox(num_classes=1)
+    ev.add_image(
+        1,
+        gt_boxes=[big(0, 0, 50, 50), big(100, 0, 50, 50)],
+        gt_classes=[0, 0], gt_crowd=[0, 0],
+        dt_boxes=[big(0, 0, 50, 50), big(100, 0, 50, 50)],
+        dt_classes=[0, 0], dt_scores=[0.9, 0.8],
+    )
+    s = ev.summarize()
+    assert abs(s["AR_1"] - 0.5) < 1e-9
+    assert abs(s["AR_10"] - 1.0) < 1e-9
+
+
+def test_multi_image_accumulation():
+    ev = COCOEvalBBox(num_classes=1)
+    for img in (1, 2):
+        ev.add_image(
+            img,
+            gt_boxes=[big(0, 0, 50, 50)], gt_classes=[0], gt_crowd=[0],
+            dt_boxes=[big(0, 0, 50, 50)], dt_classes=[0],
+            dt_scores=[0.9 if img == 1 else 0.7],
+        )
+    s = ev.summarize()
+    assert s["AP"] == 1.0 and s["AR_100"] == 1.0
