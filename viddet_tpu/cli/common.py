@@ -41,6 +41,17 @@ def get_dataset(name: str, root: str, split: str = "train"):
     builds the dataset's eval metric.
     """
     name = name.lower()
+    if name == "synthetic" or root == "synthetic":
+        from viddet_tpu.data.synthetic import SyntheticDetection
+        from viddet_tpu.eval.voc_map import VOCMApMetric
+
+        ds = SyntheticDetection(
+            num_images=64 if split == "train" else 16,
+            size=256,
+            num_classes=4,
+            seed=0 if split == "train" else 1,
+        )
+        return ds, lambda names: VOCMApMetric(iou_thresh=0.5, class_names=names)
     if name == "voc":
         from viddet_tpu.data.voc import VOCDetection
         from viddet_tpu.eval.voc_map import VOC07MApMetric
@@ -74,13 +85,24 @@ def get_dataset(name: str, root: str, split: str = "train"):
     raise ValueError(f"unknown dataset {name!r} (voc|coco|det|vid)")
 
 
-def build_model(network: str, dataset: str, num_classes: Optional[int] = None, **kw):
+def build_model(network: str, dataset: str, classes=None, **kw):
     """Model factory from (--network, --dataset) as the reference composes
-    names like ``yolo3_darknet53_voc``."""
-    from viddet_tpu.models import get_model
+    names like ``yolo3_darknet53_voc``.  Unregistered combinations (custom /
+    combined / synthetic class sets) fall back to a custom-classes build
+    when ``classes`` is provided."""
+    from viddet_tpu.models import get_model, list_models
 
     name = f"{network}_{dataset.lower()}"
-    return get_model(name, **kw)
+    if name in list_models():
+        return get_model(name, **kw)
+    if classes is None:
+        raise ValueError(
+            f"unknown model {name!r}; pass classes= for a custom build"
+        )
+    from viddet_tpu.models.zoo import yolo3_custom
+
+    backbone = "tiny" if "tiny" in network else "darknet53"
+    return yolo3_custom(classes, backbone=backbone, **kw)
 
 
 def load_weights(module, weights_path: str, image_size: int = 416):

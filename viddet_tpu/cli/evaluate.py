@@ -86,7 +86,9 @@ def main(argv=None):
     args = parse_args(argv)
     logger = setup_logging()
     dataset, metric_factory = get_dataset(args.dataset, args.data_root, split="val")
-    module, class_names = build_model(args.network, args.dataset)
+    module, class_names = build_model(
+        args.network, args.dataset, classes=dataset.classes
+    )
     variables = load_weights(module, args.weights, args.data_shape)
     metric = metric_factory(class_names)
     names, values = evaluate(module, variables, dataset, metric, args, logger)

@@ -104,7 +104,9 @@ def main(argv=None):
 
     train_ds, _ = get_dataset(args.dataset, args.data_root, split="train")
     val_ds, metric_factory = get_dataset(args.dataset, args.data_root, split="val")
-    module, class_names = build_model(args.network, args.dataset)
+    module, class_names = build_model(
+        args.network, args.dataset, classes=train_ds.classes
+    )
     num_classes = len(class_names)
 
     shape = args.data_shape

@@ -1,0 +1,60 @@
+"""Clip (multi-frame) transforms: identical geometry across the k frames.
+
+The reference applies the same augmentation geometry to every frame of a
+VID clip window (SURVEY.md §4.5).  Here that consistency falls out of the
+explicit-RNG design of the single-frame transforms: every frame is pushed
+through the SAME transform seeded identically, so all random draws (crop,
+expand, flip, color) coincide exactly; the label is transformed once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+from viddet_tpu.data.transforms import TrainTransform, ValTransform
+
+
+@dataclasses.dataclass
+class ClipTrainTransform:
+    size: Tuple[int, int]
+    letterbox_resize: bool = False
+
+    def __post_init__(self):
+        self._frame_tf = TrainTransform(
+            size=self.size, letterbox_resize=self.letterbox_resize
+        )
+
+    def __call__(self, clip: np.ndarray, label: np.ndarray, rng: np.random.Generator):
+        """clip (k, H, W, 3) uint8 -> (k, h, w, 3) float32, label transformed."""
+        self._frame_tf.size = self.size
+        seed = int(rng.integers(0, 2**63 - 1))
+        frames = []
+        out_label = None
+        for f in clip:
+            img, out_label = self._frame_tf(
+                f, label.copy(), np.random.default_rng(seed)
+            )
+            frames.append(img)
+        return np.stack(frames), out_label
+
+
+@dataclasses.dataclass
+class ClipValTransform:
+    size: Tuple[int, int]
+    letterbox_resize: bool = False
+
+    def __post_init__(self):
+        self._frame_tf = ValTransform(
+            size=self.size, letterbox_resize=self.letterbox_resize
+        )
+
+    def __call__(self, clip: np.ndarray, label: Optional[np.ndarray] = None):
+        frames = []
+        out_label, affine = label, None
+        for f in clip:
+            img, out_label, affine = self._frame_tf(f, label)
+            frames.append(img)
+        return np.stack(frames), out_label, affine

@@ -88,64 +88,53 @@ def _scale_constants(h: int, w: int, anchors, stride: int):
     return grid_xy, anchor_wh, strides
 
 
-class YOLOv3(nn.Module):
-    """Full YOLOv3 network: backbone + FPN-lite neck + heads + decode.
+def yolo_head_config(backbone: str, anchors=None, strides=None):
+    """Default (anchors, strides, head_channels) per backbone family."""
+    if backbone == "darknet53":
+        return (
+            anchors or ANCHORS_DARKNET53,
+            strides or STRIDES_DARKNET53,
+            (512, 256, 128),
+        )
+    if backbone == "tiny":
+        return anchors or ANCHORS_TINY, strides or STRIDES_TINY, (256, 128)
+    raise ValueError(f"unknown backbone {backbone!r}")
 
-    ``__call__`` returns a dict of flattened-over-anchors tensors:
-      raw_xy   (B, N, 2)  center logits (pre-sigmoid)
-      raw_wh   (B, N, 2)  log-scale offsets
-      raw_obj  (B, N, 1)  objectness logits
-      raw_cls  (B, N, C)  per-class logits
-      boxes    (B, N, 4)  decoded corner boxes, float32, input-pixel coords
-      scores   (B, N, C)  sigmoid(obj) * sigmoid(cls), float32
-      grid_xy / anchors / strides — decode constants (N, 2/2/1), for losses.
+
+class YOLOv3Head(nn.Module):
+    """FPN-lite neck + per-scale output convs + in-graph decode.
+
+    Consumes multi-scale features (DEEPEST FIRST) and returns the output
+    dict documented on ``YOLOv3``.  Shared by the single-frame network and
+    the temporal k-frame variants (models/temporal.py).
     """
 
     num_classes: int
-    backbone: str = "darknet53"  # or "tiny"
-    anchors: Any = None  # defaults per backbone
-    strides: Any = None
+    anchors: Any
+    strides: Any
+    head_channels: Any
+    tiny: bool = False
     policy: Policy = DEFAULT_POLICY
     bn_axis_name: str | None = None
 
-    def _config(self):
-        if self.backbone == "darknet53":
-            anchors = self.anchors or ANCHORS_DARKNET53
-            strides = self.strides or STRIDES_DARKNET53
-            head_channels = (512, 256, 128)
-        elif self.backbone == "tiny":
-            anchors = self.anchors or ANCHORS_TINY
-            strides = self.strides or STRIDES_TINY
-            head_channels = (256, 128)
-        else:
-            raise ValueError(f"unknown backbone {self.backbone!r}")
-        return anchors, strides, head_channels
-
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
-        anchors, strides, head_channels = self._config()
+    def __call__(self, feats: List[jnp.ndarray], train: bool = False):
+        anchors, strides = self.anchors, self.strides
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name)
-
-        if self.backbone == "darknet53":
-            feats = Darknet53(**kw)(x, train)  # [c3, c4, c5]
-        else:
-            feats = DarknetTiny(**kw)(x, train)  # [c4, c5]
-        feats = feats[::-1]  # deepest first
-
         num_pred = 5 + self.num_classes
         raws: List[jnp.ndarray] = []
         consts = []
         route = None
-        for i, (feat, ch) in enumerate(zip(feats, head_channels)):
+        for i, (feat, ch) in enumerate(zip(feats, self.head_channels)):
             if route is not None:
                 lateral = ConvBNLeaky(ch, 1, **kw)(route, train)
                 lateral = upsample2x_nearest(lateral)
                 feat = jnp.concatenate([lateral, feat], axis=-1)
-            if self.backbone == "tiny" and i == 0:
+            if self.tiny and i == 0:
                 # tiny head: single 1x1 bottleneck + 3x3 tip (no 5-conv block)
                 route = ConvBNLeaky(ch, 1, **kw)(feat, train)
                 tip = ConvBNLeaky(ch * 2, 3, **kw)(route, train)
-            elif self.backbone == "tiny":
+            elif self.tiny:
                 route = None
                 tip = ConvBNLeaky(ch * 2, 3, **kw)(feat, train)
             else:
@@ -192,6 +181,47 @@ class YOLOv3(nn.Module):
             "anchors": anchor_wh,
             "strides": stride_n,
         }
+
+
+class YOLOv3(nn.Module):
+    """Full YOLOv3 network: backbone + head (neck/outputs/decode).
+
+    ``__call__`` returns a dict of flattened-over-anchors tensors:
+      raw_xy   (B, N, 2)  center logits (pre-sigmoid), float32
+      raw_wh   (B, N, 2)  log-scale offsets, float32
+      raw_obj  (B, N, 1)  objectness logits, compute dtype
+      raw_cls  (B, N, C)  per-class logits, compute dtype
+      boxes    (B, N, 4)  decoded corner boxes, float32, input-pixel coords
+      grid_xy / anchors / strides — decode constants (N, 2/2/1), for losses.
+    """
+
+    num_classes: int
+    backbone: str = "darknet53"  # or "tiny"
+    anchors: Any = None  # defaults per backbone
+    strides: Any = None
+    policy: Policy = DEFAULT_POLICY
+    bn_axis_name: str | None = None
+
+    def _config(self):
+        return yolo_head_config(self.backbone, self.anchors, self.strides)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
+        anchors, strides, head_channels = self._config()
+        kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name)
+        if self.backbone == "darknet53":
+            feats = Darknet53(**kw)(x, train)  # [c3, c4, c5]
+        else:
+            feats = DarknetTiny(**kw)(x, train)  # [c4, c5]
+        head = YOLOv3Head(
+            num_classes=self.num_classes,
+            anchors=anchors,
+            strides=strides,
+            head_channels=head_channels,
+            tiny=self.backbone == "tiny",
+            **kw,
+        )
+        return head(feats[::-1], train)  # deepest first
 
 
 @dataclasses.dataclass(frozen=True)

@@ -82,3 +82,35 @@ def yolo3_tiny_darknet_vid(**kw):
 def yolo3_custom(classes: Sequence[str], backbone: str = "darknet53", **kw):
     """Arbitrary class list (combined datasets)."""
     return _yolo(backbone, classes, **kw)
+
+
+def _temporal_yolo(backbone: str, classes, k: int = 3, aggregation: str = "max", **kw):
+    from viddet_tpu.models.temporal import TemporalYOLOv3
+
+    policy = kw.pop("policy", DEFAULT_POLICY)
+    module = TemporalYOLOv3(
+        num_classes=len(classes),
+        k=k,
+        backbone=backbone,
+        aggregation=aggregation,
+        policy=policy,
+        **kw,
+    )
+    return module, tuple(classes)
+
+
+@register("yolo3_darknet53_k3_vid")
+def yolo3_darknet53_k3_vid(**kw):
+    return _temporal_yolo("darknet53", VID_CLASSES, **kw)
+
+
+@register("yolo3_tiny_darknet_k3_vid")
+def yolo3_tiny_darknet_k3_vid(**kw):
+    return _temporal_yolo("tiny", VID_CLASSES, **kw)
+
+
+def temporal_yolo3_custom(
+    classes: Sequence[str], k: int, aggregation: str = "max",
+    backbone: str = "darknet53", **kw,
+):
+    return _temporal_yolo(backbone, classes, k=k, aggregation=aggregation, **kw)

@@ -59,7 +59,8 @@ def make_train_step(
             gt_boxes,
             gt_ids,
             gt_weights,
-            image_size=(images.shape[1], images.shape[2]),
+            # works for images [B,H,W,3] and clips [B,k,H,W,3]
+            image_size=(images.shape[-3], images.shape[-2]),
             strides=strides,
             anchors=anchors,
             num_classes=num_classes,
