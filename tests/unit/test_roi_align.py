@@ -1,0 +1,56 @@
+import jax.numpy as jnp
+import numpy as np
+
+from viddet_tpu.ops.roi_align import fpn_roi_level, multilevel_roi_align, roi_align
+
+
+def test_constant_region_pools_constant():
+    feat = jnp.full((16, 16, 3), 5.0)
+    rois = jnp.asarray([[8.0, 8.0, 40.0, 40.0]])  # image coords, stride 4
+    out = roi_align(feat, rois, spatial_scale=0.25, output_size=7)
+    np.testing.assert_allclose(np.asarray(out), 5.0, atol=1e-5)
+
+
+def test_linear_gradient_exact():
+    # f(y, x) = x: bilinear interp of a linear function is exact
+    x = np.arange(32, dtype=np.float32)
+    feat = np.broadcast_to(x[None, :, None], (32, 32, 1)).copy()
+    rois = jnp.asarray([[4.0, 4.0, 12.0, 12.0]])  # stride 1
+    out = np.asarray(roi_align(jnp.asarray(feat), rois, 1.0, output_size=4, sampling_ratio=2))
+    # bin centers along x: 4 + (i + 0.5) * 2 for bins of width 2
+    want = 4 + (np.arange(4) + 0.5) * 2
+    np.testing.assert_allclose(out[0, 0, :, 0], want, atol=1e-4)
+    # constant along y
+    np.testing.assert_allclose(out[0][:, 1, 0], out[0][0, 1, 0], atol=1e-4)
+
+
+def test_out_of_bounds_contributes_zero():
+    feat = jnp.ones((8, 8, 1))
+    rois = jnp.asarray([[-100.0, -100.0, -50.0, -50.0]])  # fully outside
+    out = np.asarray(roi_align(feat, rois, 1.0, output_size=2))
+    np.testing.assert_allclose(out, 0.0)
+
+
+def test_fpn_level_assignment():
+    rois = jnp.asarray(
+        [
+            [0, 0, 56, 56],     # sqrt(wh)=56  -> 4 + log2(0.25) = 2
+            [0, 0, 224, 224],   # -> 4
+            [0, 0, 448, 448],   # -> 5
+            [0, 0, 1000, 1000], # -> clipped 5
+            [0, 0, 10, 10],     # -> clipped 2
+        ],
+        jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(fpn_roi_level(rois)), [2, 4, 5, 5, 2])
+
+
+def test_multilevel_matches_single_level():
+    rng = np.random.default_rng(0)
+    # two-level pyramid; roi sized to map to level 2 (stride 4)
+    p2 = jnp.asarray(rng.uniform(size=(32, 32, 2)).astype(np.float32))
+    p3 = jnp.asarray(rng.uniform(size=(16, 16, 2)).astype(np.float32))
+    rois = jnp.asarray([[8.0, 8.0, 64.0, 64.0]])  # sqrt(wh)=56 -> level 2
+    got = multilevel_roi_align([p2, p3], rois, strides=[4, 8], k_min=2)
+    want = roi_align(p2, rois, 0.25)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -1,0 +1,102 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from viddet_tpu.core.precision import FLOAT32_POLICY
+from viddet_tpu.models import ssd as S
+
+
+def test_anchor_generation_counts():
+    anchors = S.generate_ssd_anchors(512)
+    expected = 0
+    for stride, ratios in zip(S.SSD512_STRIDES, S.SSD512_RATIOS):
+        fm = max(-(-512 // stride), 1)
+        expected += fm * fm * S.anchors_per_cell(ratios)
+    assert anchors.shape == (expected, 4)
+    # centers of the first (stride 8) layer
+    np.testing.assert_allclose(
+        0.5 * (anchors[0, :2] + anchors[0, 2:]), [4.0, 4.0], atol=1e-5
+    )
+
+
+def test_encode_decode_roundtrip():
+    anchors = jnp.asarray(S.generate_ssd_anchors(128)[:50])
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 128, (50, 2, 2)).astype(np.float32)
+    gt = jnp.asarray(np.concatenate([pts.min(1) - 1, pts.max(1) + 1], axis=-1))
+    deltas = S.encode_ssd_boxes(gt, anchors)
+    back = S.decode_ssd_boxes(deltas, anchors)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(gt), rtol=1e-4, atol=1e-2)
+
+
+def test_target_assignment_forces_best_anchor():
+    anchors = jnp.asarray(
+        [[0, 0, 10, 10], [100, 100, 140, 140], [200, 200, 210, 210]],
+        jnp.float32,
+    )
+    # GT overlaps anchor 1 weakly (IoU < 0.5) but must still be matched
+    gt = jnp.asarray([[[110, 110, 170, 170]]], jnp.float32)
+    ids = jnp.asarray([[2]], jnp.int32)
+    cls_t, box_t = S.assign_ssd_targets(anchors, gt, ids)
+    assert int(cls_t[0, 1]) == 3  # class 2 -> label 3 (bg=0)
+    assert int(cls_t[0, 0]) == 0 and int(cls_t[0, 2]) == 0
+    assert not np.allclose(np.asarray(box_t[0, 1]), 0)
+
+
+def test_target_threshold_match():
+    anchors = jnp.asarray([[0, 0, 100, 100], [500, 500, 600, 600]], jnp.float32)
+    gt = jnp.asarray([[[0, 0, 90, 100], [-1, -1, -1, -1]]], jnp.float32)
+    ids = jnp.asarray([[0, -1]], jnp.int32)
+    cls_t, _ = S.assign_ssd_targets(anchors, gt, ids)
+    assert int(cls_t[0, 0]) == 1  # IoU 0.9 >= 0.5
+    assert int(cls_t[0, 1]) == 0
+
+
+def test_ssd_forward_and_loss_small():
+    module = S.SSD(num_classes=3, image_size=128, policy=FLOAT32_POLICY)
+    x = jnp.zeros((2, 128, 128, 3), jnp.float32)
+    variables = module.init(jax.random.key(0), x, train=True)
+    out = module.apply(variables, x, train=False)
+    n = out["anchors"].shape[0]
+    assert out["cls_logits"].shape == (2, n, 4)
+    assert out["boxes"].shape == (2, n, 4)
+
+    gt_boxes = jnp.asarray([[[10, 10, 60, 80]], [[20, 20, 100, 100]]], jnp.float32)
+    gt_ids = jnp.asarray([[0], [2]], jnp.int32)
+    losses = S.ssd_loss(out, gt_boxes, gt_ids)
+    for k in ("cls", "box", "total"):
+        assert np.isfinite(float(losses[k])), k
+    assert float(losses["npos"]) >= 1.0
+
+
+def test_ssd_train_step_and_inference():
+    from viddet_tpu.train.loop import make_ssd_train_step
+    from viddet_tpu.train.state import TrainState, make_lr_schedule, make_optimizer
+
+    module = S.SSD(num_classes=2, image_size=128, policy=FLOAT32_POLICY)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (2, 128, 128, 3)), jnp.float32
+    )
+    variables = module.init(jax.random.key(0), x, train=True)
+    tx = make_optimizer(make_lr_schedule(5e-3, 1), weight_decay=0.0)
+    state = TrainState.create(
+        params=variables["params"], batch_stats=variables["batch_stats"], tx=tx
+    )
+    step = make_ssd_train_step(module)
+    gt_boxes = jnp.asarray([[[10, 10, 60, 80]], [[20, 20, 100, 100]]], jnp.float32)
+    gt_ids = jnp.asarray([[0], [1]], jnp.int32)
+    history = []
+    for _ in range(25):
+        state, losses = step(state, x, gt_boxes, gt_ids)
+        history.append(float(losses["total"]))
+        assert np.isfinite(history[-1])
+    assert min(history[-3:]) < 0.7 * max(history[:3]), history
+
+    ids, scores, boxes = S.ssd_forward_and_postprocess(
+        module,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        x,
+        S.SSDNMSConfig(backend="xla", topk=64, post_nms=16),
+    )
+    assert ids.shape == (2, 16) and boxes.shape == (2, 16, 4)

@@ -99,10 +99,35 @@ def build_model(network: str, dataset: str, classes=None, **kw):
         raise ValueError(
             f"unknown model {name!r}; pass classes= for a custom build"
         )
+    if network.startswith("ssd"):
+        from viddet_tpu.models.zoo import _ssd
+
+        return _ssd(classes, **kw)
     from viddet_tpu.models.zoo import yolo3_custom
 
+    kw.pop("image_size", None)
     backbone = "tiny" if "tiny" in network else "darknet53"
     return yolo3_custom(classes, backbone=backbone, **kw)
+
+
+def make_predictor(module):
+    """Jitted ``infer(variables, images) -> (ids, scores, boxes)`` for any
+    registered model family (YOLOv3 / temporal YOLOv3 / SSD)."""
+    import jax
+
+    from viddet_tpu.models.ssd import SSD, ssd_forward_and_postprocess
+    from viddet_tpu.models.yolo3 import forward_and_postprocess
+
+    if isinstance(module, SSD):
+        fn = ssd_forward_and_postprocess
+    else:
+        fn = forward_and_postprocess
+
+    @jax.jit
+    def infer(variables, images):
+        return fn(module, variables, images)
+
+    return infer
 
 
 def load_weights(module, weights_path: str, image_size: int = 416):

@@ -68,11 +68,9 @@ def main(argv=None):
     module, class_names = build_model(args.network, args.dataset)
     variables = load_weights(module, args.weights, args.data_shape)
 
-    from viddet_tpu.models.yolo3 import forward_and_postprocess
+    from viddet_tpu.cli.common import make_predictor
 
-    @jax.jit
-    def infer(variables, images):
-        return forward_and_postprocess(module, variables, images)
+    infer = make_predictor(module)
 
     size = (args.data_shape, args.data_shape)
     transform = ValTransform(size=size, letterbox_resize=True)

@@ -38,11 +38,9 @@ def parse_args(argv=None):
 
 
 def evaluate(module, variables, dataset, metric, args, logger):
-    from viddet_tpu.models.yolo3 import forward_and_postprocess
+    from viddet_tpu.cli.common import make_predictor
 
-    @jax.jit
-    def infer(variables, images):
-        return forward_and_postprocess(module, variables, images)
+    infer = make_predictor(module)
 
     size = (args.data_shape, args.data_shape)
     loader = DetectionLoader(

@@ -109,6 +109,50 @@ def yolo3_tiny_darknet_k3_vid(**kw):
     return _temporal_yolo("tiny", VID_CLASSES, **kw)
 
 
+def _ssd(classes, image_size: int = 512, **kw):
+    from viddet_tpu.models.ssd import SSD
+
+    policy = kw.pop("policy", DEFAULT_POLICY)
+    module = SSD(
+        num_classes=len(classes), image_size=image_size, policy=policy, **kw
+    )
+    return module, tuple(classes)
+
+
+@register("ssd_512_resnet50_voc")
+def ssd_512_resnet50_voc(**kw):
+    return _ssd(VOC_CLASSES, **kw)
+
+
+@register("ssd_512_resnet50_coco")
+def ssd_512_resnet50_coco(**kw):
+    return _ssd(COCO_CLASSES, **kw)
+
+
+@register("ssd_512_resnet50_vid")
+def ssd_512_resnet50_vid(**kw):
+    return _ssd(VID_CLASSES, **kw)
+
+
+def _frcnn(classes, **kw):
+    from viddet_tpu.models.faster_rcnn import FasterRCNN
+
+    policy = kw.pop("policy", DEFAULT_POLICY)
+    kw.pop("image_size", None)
+    module = FasterRCNN(num_classes=len(classes), policy=policy, **kw)
+    return module, tuple(classes)
+
+
+@register("faster_rcnn_resnet50_fpn_voc")
+def faster_rcnn_resnet50_fpn_voc(**kw):
+    return _frcnn(VOC_CLASSES, **kw)
+
+
+@register("faster_rcnn_resnet50_fpn_coco")
+def faster_rcnn_resnet50_fpn_coco(**kw):
+    return _frcnn(COCO_CLASSES, **kw)
+
+
 def temporal_yolo3_custom(
     classes: Sequence[str], k: int, aggregation: str = "max",
     backbone: str = "darknet53", **kw,

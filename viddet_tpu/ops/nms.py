@@ -131,6 +131,66 @@ def multiclass_nms(
     return jax.vmap(single)(boxes, scores)
 
 
+def _nms_on_candidates(cand_boxes, top_scores, cls_idx, valid, iou_thresh, post_nms, backend):
+    """Shared tail: class-offset -> greedy keep -> compact (batched)."""
+    offset_boxes = jax.vmap(_class_offset)(cand_boxes, cls_idx)
+    if backend == "xla":
+        keep = jax.vmap(lambda bb, vv: nms_keep_mask(bb, None, vv, iou_thresh))(
+            offset_boxes, valid
+        )
+    else:
+        from viddet_tpu.ops.nms_pallas import nms_keep_mask_pallas
+
+        keep = nms_keep_mask_pallas(
+            offset_boxes, valid, iou_thresh,
+            interpret=(backend == "pallas_interpret"),
+        ) > 0.5
+    return jax.vmap(_compact_and_pad, in_axes=(0, 0, 0, 0, None))(
+        cand_boxes, top_scores, cls_idx, keep, post_nms
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iou_thresh", "valid_thresh", "topk", "post_nms", "backend"),
+)
+def multiclass_nms_dense_two_stage(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    *,
+    iou_thresh: float = 0.45,
+    valid_thresh: float = 0.01,
+    topk: int = 400,
+    post_nms: int = 100,
+    backend: str = "xla",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Two-stage top-k + NMS over a dense (B, N, C) score tensor.
+
+    Same exact-up-to-ties argument as ``multiclass_nms_from_logits`` (an
+    anchor outside the top-k by max-class score cannot own a top-k pair).
+    Used by SSD/Faster R-CNN heads whose scores are softmax probabilities
+    rather than sigmoid-logit products.
+    """
+    b, n, c = scores.shape
+    k = min(topk, n)
+    anchor_max = jnp.max(scores, axis=-1).astype(jnp.float32)
+    _, a_idx = jax.lax.top_k(anchor_max, k)
+    boxes_k = jnp.take_along_axis(boxes, a_idx[..., None], axis=1)
+    scores_k = jnp.take_along_axis(scores, a_idx[..., None], axis=1).astype(jnp.float32)
+    top_scores, p_idx = jax.lax.top_k(scores_k.reshape(b, k * c), min(topk, k * c))
+    if top_scores.shape[1] < topk:
+        pad = topk - top_scores.shape[1]
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)), constant_values=-1.0)
+        p_idx = jnp.pad(p_idx, ((0, 0), (0, pad)))
+    anchor2 = p_idx // c
+    cls_idx = (p_idx % c).astype(jnp.float32)
+    cand_boxes = jnp.take_along_axis(boxes_k, anchor2[..., None], axis=1)
+    valid = top_scores > valid_thresh
+    return _nms_on_candidates(
+        cand_boxes, top_scores, cls_idx, valid, iou_thresh, post_nms, backend
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("iou_thresh", "valid_thresh", "topk", "post_nms", "backend"),
@@ -193,22 +253,6 @@ def multiclass_nms_from_logits(
     cls_idx = (p_idx % c).astype(jnp.float32)
     cand_boxes = jnp.take_along_axis(boxes_k, anchor2[..., None], axis=1)
     valid = top_scores > valid_thresh
-
-    offset_boxes = jax.vmap(_class_offset)(cand_boxes, cls_idx)
-    if backend == "xla":
-        keep = jax.vmap(lambda bb, vv: nms_keep_mask(bb, None, vv, iou_thresh))(
-            offset_boxes, valid
-        )
-    else:
-        from viddet_tpu.ops.nms_pallas import nms_keep_mask_pallas
-
-        keep = nms_keep_mask_pallas(
-            offset_boxes,
-            valid,
-            iou_thresh,
-            interpret=(backend == "pallas_interpret"),
-        ) > 0.5
-
-    return jax.vmap(_compact_and_pad, in_axes=(0, 0, 0, 0, None))(
-        cand_boxes, top_scores, cls_idx, keep, post_nms
+    return _nms_on_candidates(
+        cand_boxes, top_scores, cls_idx, valid, iou_thresh, post_nms, backend
     )

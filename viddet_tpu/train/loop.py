@@ -91,6 +91,66 @@ def make_train_step(
     return train_step
 
 
+def make_ssd_train_step(module):
+    """Jitted SSD train step (softmax CE + OHEM + SmoothL1, in-step targets)."""
+    from viddet_tpu.models.ssd import ssd_loss
+
+    def loss_fn(params, batch_stats, images, gt_boxes, gt_ids):
+        outputs, mutated = module.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        losses = ssd_loss(outputs, gt_boxes, gt_ids)
+        return losses["total"], (losses, mutated["batch_stats"])
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, images, gt_boxes, gt_ids):
+        grads, (losses, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, images, gt_boxes, gt_ids
+        )
+        new_state = state.apply_gradients(grads, new_batch_stats)
+        return new_state, losses
+
+    return train_step
+
+
+def make_frcnn_train_step(module):
+    """Jitted Faster R-CNN train step: RPN + head losses, in-graph sampling.
+
+    Signature: ``train_step(state, rng, images, gt_boxes, gt_ids)`` — the rng
+    drives RPN/ROI minibatch sampling (split per step by the caller).
+    """
+    from viddet_tpu.models.faster_rcnn import frcnn_loss
+
+    cfg = module.config
+
+    def loss_fn(params, batch_stats, rng, images, gt_boxes, gt_ids):
+        sample_rng, target_rng = jax.random.split(rng)
+        outputs, mutated = module.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            gt_boxes,
+            gt_ids,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"sampling": sample_rng},
+        )
+        losses = frcnn_loss(outputs, gt_boxes, gt_ids, cfg, target_rng)
+        return losses["total"], (losses, mutated["batch_stats"])
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, rng, images, gt_boxes, gt_ids):
+        grads, (losses, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, rng, images, gt_boxes, gt_ids
+        )
+        new_state = state.apply_gradients(grads, new_batch_stats)
+        return new_state, losses
+
+    return train_step
+
+
 def make_eval_step(module, nms_config=None):
     """Jitted ``eval_step(params, batch_stats, images) -> (ids, scores, boxes)``."""
     from viddet_tpu.models.yolo3 import NMSConfig, forward_and_postprocess
