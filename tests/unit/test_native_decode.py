@@ -1,0 +1,78 @@
+"""Native C++ decode library vs the cv2/numpy oracle path."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from viddet_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason=f"native lib unavailable: {native.build_error()}"
+)
+
+
+def smooth_image(h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / w, yy * 255 / h, (xx + yy) * 127 / (h + w)], -1
+    ).astype(np.uint8)
+    return img
+
+
+@pytest.fixture
+def jpegs(tmp_path):
+    paths = []
+    for i, (h, w) in enumerate([(120, 200), (240, 180), (64, 64)]):
+        p = str(tmp_path / f"{i}.jpg")
+        cv2.imwrite(
+            p, cv2.cvtColor(smooth_image(h, w, i), cv2.COLOR_RGB2BGR),
+            [cv2.IMWRITE_JPEG_QUALITY, 100],
+        )
+        paths.append(p)
+    return paths
+
+
+def test_batch_decode_matches_cv2_path(jpegs):
+    from viddet_tpu.data.transforms import letterbox, normalize
+
+    out, affines, orig = native.decode_jpeg_batch(jpegs, (128, 128), letterbox=True)
+    assert out.shape == (3, 128, 128, 3)
+    for i, p in enumerate(jpegs):
+        img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+        assert tuple(orig[i]) == img.shape[:2]
+        ref, ref_aff = letterbox(img, (128, 128), pad_value=128)
+        ref = normalize(ref)
+        assert np.abs(ref - out[i]).mean() < 0.05
+        np.testing.assert_allclose(affines[i], ref_aff, atol=1.0)
+
+
+def test_batch_decode_failed_slot(jpegs, tmp_path):
+    bad = str(tmp_path / "missing.jpg")
+    out, affines, orig = native.decode_jpeg_batch(
+        [jpegs[0], bad], (64, 64), letterbox=False
+    )
+    assert tuple(orig[1]) == (0, 0)
+    assert np.all(out[1] == 0)
+
+
+def test_video_stream(tmp_path):
+    path = str(tmp_path / "v.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (160, 120))
+    for t in range(12):
+        vw.write(np.full((120, 160, 3), min(t * 20, 255), np.uint8))
+    vw.release()
+
+    vs = native.NativeVideoStream(path, (96, 96), every=3)
+    assert (vs.width, vs.height) == (160, 120)
+    frames = list(vs)
+    assert [f[0] for f in frames] == [0, 3, 6, 9]
+    idx, frame, affine = frames[2]
+    assert frame.shape == (96, 96, 3)
+    # frame 6 is uniform gray 120: check the center (non-letterbox-pad) region
+    from viddet_tpu.data.transforms import normalize
+
+    want = normalize(np.full((1, 1, 3), 120, np.uint8))[0, 0]
+    np.testing.assert_allclose(frame[48, 48], want, atol=0.15)
+    vs.close()

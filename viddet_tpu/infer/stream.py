@@ -73,6 +73,34 @@ class FrameSource:
             yield item
 
 
+class NativeFrameSource:
+    """C++ decode-thread frame source (viddet_tpu.native).
+
+    Yields (idx, None, preprocessed, affine): the original RGB frame is not
+    materialized — this is the pure-throughput path (detections/stats, no
+    drawing).  Use ``FrameSource`` when annotated output is needed.
+    """
+
+    def __init__(self, path, size: Tuple[int, int], every: int = 1,
+                 letterbox_resize: bool = True, queue_size: int = 64):
+        from viddet_tpu import native
+
+        self._stream = native.NativeVideoStream(
+            str(path), size, letterbox=letterbox_resize, every=every,
+            ring_capacity=queue_size,
+        )
+        self.fps = self._stream.fps
+        self.width = self._stream.width
+        self.height = self._stream.height
+
+    def __iter__(self):
+        for idx, frame, affine in self._stream:
+            yield idx, None, frame, affine
+
+    def close(self):
+        self._stream.close()
+
+
 def stream_detect(
     source: Iterator,
     infer: Callable,
@@ -137,7 +165,23 @@ def stream_detect_video(
 
     os.makedirs(output_dir, exist_ok=True)
     stem = os.path.splitext(os.path.basename(str(path)))[0]
-    source = FrameSource(path, transform, every=every)
+    if not draw:
+        # no annotated output needed -> the C++ decode path (falls back to
+        # the cv2 thread if the native library is unavailable)
+        try:
+            from viddet_tpu import native
+
+            if native.available():
+                source = NativeFrameSource(
+                    path, transform.size, every=every,
+                    letterbox_resize=getattr(transform, "letterbox_resize", True),
+                )
+            else:
+                source = FrameSource(path, transform, every=every)
+        except Exception:
+            source = FrameSource(path, transform, every=every)
+    else:
+        source = FrameSource(path, transform, every=every)
 
     writer = None
     det_file = None

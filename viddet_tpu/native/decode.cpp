@@ -1,0 +1,394 @@
+// viddet_tpu native host-decode library.
+//
+// TPU-native equivalent of the reference substrate's OpenCV/FFMPEG decode
+// path + DataLoader worker pool (SURVEY.md §3.2 N9/N11): the host side of
+// the "fused host+device preprocessing path" in the BASELINE.json north
+// star.  One pass per output pixel fuses JPEG decode -> (letterbox) resize
+// -> ImageNet normalization straight into a caller-provided float32 NHWC
+// staging buffer that Python hands to jax.device_put — no intermediate
+// uint8 images, no Python per-pixel work, GIL released for the whole batch.
+//
+// Exposed C ABI (ctypes-friendly):
+//   vd_decode_jpeg_batch   — threaded batch: files -> normalized tensors
+//   vd_video_open/close    — FFmpeg demux+decode handle with a decode-ahead
+//   vd_video_read          — ring buffer of preprocessed frames
+//
+// Build: g++ -O3 -march=native -shared -fPIC decode.cpp -o libviddet_decode.so
+//        -ljpeg -lavformat -lavcodec -lavutil -lswscale -pthread
+
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <setjmp.h>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+namespace {
+
+constexpr float kMean[3] = {0.485f, 0.456f, 0.406f};
+constexpr float kStd[3] = {0.229f, 0.224f, 0.225f};
+
+struct JpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf jmp;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jmp, 1);
+}
+
+// Bilinear sample + normalize an interleaved RGB uint8 image into out[3].
+inline void sample_norm(const uint8_t* rgb, int sw, int sh, float sx, float sy,
+                        float* out) {
+  sx = sx < 0.f ? 0.f : (sx > sw - 1.f ? sw - 1.f : sx);
+  sy = sy < 0.f ? 0.f : (sy > sh - 1.f ? sh - 1.f : sy);
+  int x0 = static_cast<int>(sx);
+  int y0 = static_cast<int>(sy);
+  int x1 = x0 + 1 < sw ? x0 + 1 : x0;
+  int y1 = y0 + 1 < sh ? y0 + 1 : y0;
+  float lx = sx - x0, ly = sy - y0;
+  const uint8_t* p00 = rgb + (y0 * sw + x0) * 3;
+  const uint8_t* p01 = rgb + (y0 * sw + x1) * 3;
+  const uint8_t* p10 = rgb + (y1 * sw + x0) * 3;
+  const uint8_t* p11 = rgb + (y1 * sw + x1) * 3;
+  for (int c = 0; c < 3; ++c) {
+    float v = (1 - ly) * ((1 - lx) * p00[c] + lx * p01[c]) +
+              ly * ((1 - lx) * p10[c] + lx * p11[c]);
+    out[c] = (v / 255.f - kMean[c]) / kStd[c];
+  }
+}
+
+// Resize (plain or letterbox) + normalize an RGB uint8 image into a float32
+// HWC buffer of (oh, ow).  affine out: [sx, sy, dx, dy] (box mapping
+// out = in * s + d).  pad_value is raw uint8 gray for letterbox borders.
+void resize_normalize(const uint8_t* rgb, int sw, int sh, float* out, int ow,
+                      int oh, bool letterbox, int pad_value, float* affine) {
+  float sx_scale, sy_scale;
+  int dx = 0, dy = 0, rw = ow, rh = oh;
+  if (letterbox) {
+    float s = std::fmin(static_cast<float>(ow) / sw, static_cast<float>(oh) / sh);
+    rw = static_cast<int>(std::lround(sw * s));
+    rh = static_cast<int>(std::lround(sh * s));
+    dx = (ow - rw) / 2;
+    dy = (oh - rh) / 2;
+    sx_scale = sy_scale = s;
+    float padf[3];
+    for (int c = 0; c < 3; ++c)
+      padf[c] = (pad_value / 255.f - kMean[c]) / kStd[c];
+    for (int y = 0; y < oh; ++y) {
+      bool border_row = y < dy || y >= dy + rh;
+      float* row = out + y * ow * 3;
+      if (border_row) {
+        for (int x = 0; x < ow; ++x)
+          for (int c = 0; c < 3; ++c) row[x * 3 + c] = padf[c];
+      } else {
+        for (int x = 0; x < dx; ++x)
+          for (int c = 0; c < 3; ++c) row[x * 3 + c] = padf[c];
+        for (int x = dx + rw; x < ow; ++x)
+          for (int c = 0; c < 3; ++c) row[x * 3 + c] = padf[c];
+      }
+    }
+  } else {
+    sx_scale = static_cast<float>(ow) / sw;
+    sy_scale = static_cast<float>(oh) / sh;
+  }
+  // cv2-compatible half-pixel mapping: src = (dst + 0.5) / scale - 0.5
+  for (int y = dy; y < dy + rh; ++y) {
+    float sy = (y - dy + 0.5f) / sy_scale - 0.5f;
+    float* row = out + y * ow * 3;
+    for (int x = dx; x < dx + rw; ++x) {
+      float sx = (x - dx + 0.5f) / sx_scale - 0.5f;
+      sample_norm(rgb, sw, sh, sx, sy, row + x * 3);
+    }
+  }
+  affine[0] = sx_scale;
+  affine[1] = sy_scale;
+  affine[2] = static_cast<float>(dx);
+  affine[3] = static_cast<float>(dy);
+}
+
+// Decode one JPEG file to RGB (with DCT-domain prescale toward the target).
+// (*ow0, *oh0) receive the ORIGINAL (pre-prescale) dimensions.
+bool decode_jpeg_file(const char* path, int target_w, int target_h,
+                      std::vector<uint8_t>* rgb, int* w, int* h, int* ow0,
+                      int* oh0) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  *ow0 = cinfo.image_width;
+  *oh0 = cinfo.image_height;
+  // DCT prescale: pick the smallest 1/1..1/8 scale that stays >= target.
+  if (target_w > 0 && target_h > 0) {
+    for (int denom = 8; denom >= 1; --denom) {
+      if (static_cast<int>(cinfo.image_width) / denom >= target_w &&
+          static_cast<int>(cinfo.image_height) / denom >= target_h) {
+        cinfo.scale_num = 1;
+        cinfo.scale_denom = denom;
+        break;
+      }
+    }
+  }
+  jpeg_start_decompress(&cinfo);
+  *w = cinfo.output_width;
+  *h = cinfo.output_height;
+  rgb->resize(static_cast<size_t>(*w) * *h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = rgb->data() + static_cast<size_t>(cinfo.output_scanline) * *w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode `n` JPEG files into out (n, oh, ow, 3) float32, normalized.
+// affines: (n, 4).  orig_sizes: (n, 2) [h, w] of source images. Returns the
+// number of successfully decoded images; failed slots are zero-filled.
+int vd_decode_jpeg_batch(const char** paths, int n, float* out, int ow, int oh,
+                         int letterbox, int pad_value, float* affines,
+                         int* orig_sizes, int num_threads) {
+  std::atomic<int> next{0}, ok{0};
+  if (num_threads <= 0) num_threads = std::thread::hardware_concurrency();
+  if (num_threads <= 0) num_threads = 1;
+  if (num_threads > n) num_threads = n;
+  auto worker = [&]() {
+    std::vector<uint8_t> rgb;
+    int w, h, w0, h0;
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      float* dst = out + static_cast<size_t>(i) * ow * oh * 3;
+      if (decode_jpeg_file(paths[i], ow, oh, &rgb, &w, &h, &w0, &h0)) {
+        resize_normalize(rgb.data(), w, h, dst, ow, oh, letterbox != 0,
+                         pad_value, affines + i * 4);
+        // fold the DCT prescale (decoded/original) into the affine so it
+        // maps from the file's TRUE coordinate system
+        affines[i * 4] *= static_cast<float>(w) / w0;
+        affines[i * 4 + 1] *= static_cast<float>(h) / h0;
+        orig_sizes[i * 2] = h0;
+        orig_sizes[i * 2 + 1] = w0;
+        ok.fetch_add(1);
+      } else {
+        std::memset(dst, 0, sizeof(float) * ow * oh * 3);
+        affines[i * 4] = 1.f;
+        affines[i * 4 + 1] = 1.f;
+        affines[i * 4 + 2] = 0.f;
+        affines[i * 4 + 3] = 0.f;
+        orig_sizes[i * 2] = 0;
+        orig_sizes[i * 2 + 1] = 0;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return ok.load();
+}
+
+// ---------------------------------------------------------------------------
+// Video streaming: FFmpeg demux/decode thread -> preprocessed frame ring.
+// ---------------------------------------------------------------------------
+
+struct VideoFrame {
+  std::vector<float> data;   // (oh, ow, 3) normalized
+  float affine[4];
+  int64_t index;
+};
+
+struct VideoHandle {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  SwsContext* sws = nullptr;
+  int stream_index = -1;
+  int ow, oh, letterbox, pad_value, every;
+  int src_w = 0, src_h = 0;
+  double fps = 0.0;
+
+  std::thread decoder;
+  std::mutex mu;
+  std::condition_variable cv_push, cv_pop;
+  std::queue<VideoFrame> ring;
+  size_t ring_cap = 32;
+  bool done = false, stop = false;
+
+  ~VideoHandle() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+    }
+    cv_push.notify_all();
+    cv_pop.notify_all();
+    if (decoder.joinable()) decoder.join();
+    if (sws) sws_freeContext(sws);
+    if (codec) avcodec_free_context(&codec);
+    if (fmt) avformat_close_input(&fmt);
+  }
+};
+
+static void video_decode_loop(VideoHandle* vh) {
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  AVFrame* rgb = av_frame_alloc();
+  rgb->format = AV_PIX_FMT_RGB24;
+  rgb->width = vh->src_w;
+  rgb->height = vh->src_h;
+  av_frame_get_buffer(rgb, 32);
+  int64_t idx = 0;
+
+  auto emit = [&](AVFrame* fr) {
+    if (!vh->sws) {
+      vh->sws = sws_getContext(vh->src_w, vh->src_h,
+                               static_cast<AVPixelFormat>(fr->format), vh->src_w,
+                               vh->src_h, AV_PIX_FMT_RGB24, SWS_BILINEAR,
+                               nullptr, nullptr, nullptr);
+    }
+    sws_scale(vh->sws, fr->data, fr->linesize, 0, vh->src_h, rgb->data,
+              rgb->linesize);
+    // tightly pack (linesize may exceed width*3)
+    std::vector<uint8_t> packed(static_cast<size_t>(vh->src_w) * vh->src_h * 3);
+    for (int y = 0; y < vh->src_h; ++y)
+      std::memcpy(packed.data() + static_cast<size_t>(y) * vh->src_w * 3,
+                  rgb->data[0] + static_cast<size_t>(y) * rgb->linesize[0],
+                  static_cast<size_t>(vh->src_w) * 3);
+    VideoFrame vf;
+    vf.data.resize(static_cast<size_t>(vh->ow) * vh->oh * 3);
+    resize_normalize(packed.data(), vh->src_w, vh->src_h, vf.data.data(), vh->ow,
+                     vh->oh, vh->letterbox != 0, vh->pad_value, vf.affine);
+    vf.index = idx;
+    std::unique_lock<std::mutex> lk(vh->mu);
+    vh->cv_push.wait(lk, [&] { return vh->ring.size() < vh->ring_cap || vh->stop; });
+    if (vh->stop) return;
+    vh->ring.push(std::move(vf));
+    vh->cv_pop.notify_one();
+  };
+
+  bool stopped = false;
+  while (!stopped && av_read_frame(vh->fmt, pkt) >= 0) {
+    if (pkt->stream_index == vh->stream_index) {
+      if (avcodec_send_packet(vh->codec, pkt) == 0) {
+        while (avcodec_receive_frame(vh->codec, frame) == 0) {
+          if (idx % vh->every == 0) emit(frame);
+          ++idx;
+          {
+            std::lock_guard<std::mutex> lk(vh->mu);
+            if (vh->stop) stopped = true;
+          }
+          if (stopped) break;
+        }
+      }
+    }
+    av_packet_unref(pkt);
+  }
+  // flush
+  if (!stopped && avcodec_send_packet(vh->codec, nullptr) == 0) {
+    while (avcodec_receive_frame(vh->codec, frame) == 0) {
+      if (idx % vh->every == 0) emit(frame);
+      ++idx;
+    }
+  }
+  {
+    std::lock_guard<std::mutex> lk(vh->mu);
+    vh->done = true;
+  }
+  vh->cv_pop.notify_all();
+  av_frame_free(&rgb);
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+}
+
+// Open a video for streaming preprocessed frames. Returns handle or null.
+void* vd_video_open(const char* path, int ow, int oh, int letterbox,
+                    int pad_value, int every, int ring_capacity) {
+  auto* vh = new VideoHandle();
+  vh->ow = ow;
+  vh->oh = oh;
+  vh->letterbox = letterbox;
+  vh->pad_value = pad_value;
+  vh->every = every > 0 ? every : 1;
+  if (ring_capacity > 0) vh->ring_cap = ring_capacity;
+  if (avformat_open_input(&vh->fmt, path, nullptr, nullptr) < 0) {
+    delete vh;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(vh->fmt, nullptr) < 0) {
+    delete vh;
+    return nullptr;
+  }
+  const AVCodec* dec = nullptr;
+  vh->stream_index =
+      av_find_best_stream(vh->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &dec, 0);
+  if (vh->stream_index < 0 || !dec) {
+    delete vh;
+    return nullptr;
+  }
+  AVStream* st = vh->fmt->streams[vh->stream_index];
+  vh->codec = avcodec_alloc_context3(dec);
+  avcodec_parameters_to_context(vh->codec, st->codecpar);
+  if (avcodec_open2(vh->codec, dec, nullptr) < 0) {
+    delete vh;
+    return nullptr;
+  }
+  vh->src_w = vh->codec->width;
+  vh->src_h = vh->codec->height;
+  vh->fps = av_q2d(st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate);
+  vh->decoder = std::thread(video_decode_loop, vh);
+  return vh;
+}
+
+// Pop one preprocessed frame. Returns frame index (>=0), or -1 on EOF.
+int64_t vd_video_read(void* handle, float* out, float* affine) {
+  auto* vh = static_cast<VideoHandle*>(handle);
+  std::unique_lock<std::mutex> lk(vh->mu);
+  vh->cv_pop.wait(lk, [&] { return !vh->ring.empty() || vh->done || vh->stop; });
+  if (vh->ring.empty()) return -1;
+  VideoFrame vf = std::move(vh->ring.front());
+  vh->ring.pop();
+  vh->cv_push.notify_one();
+  lk.unlock();
+  std::memcpy(out, vf.data.data(), vf.data.size() * sizeof(float));
+  std::memcpy(affine, vf.affine, 4 * sizeof(float));
+  return vf.index;
+}
+
+void vd_video_info(void* handle, int* w, int* h, double* fps) {
+  auto* vh = static_cast<VideoHandle*>(handle);
+  *w = vh->src_w;
+  *h = vh->src_h;
+  *fps = vh->fps;
+}
+
+void vd_video_close(void* handle) { delete static_cast<VideoHandle*>(handle); }
+
+}  // extern "C"
