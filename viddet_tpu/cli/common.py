@@ -34,7 +34,7 @@ def setup_logging(save_prefix: Optional[str] = None) -> logging.Logger:
     return logger
 
 
-def get_dataset(name: str, root: str, split: str = "train"):
+def get_dataset(name: str, root: str, split: str = "train", **dataset_kw):
     """Dataset factory keyed by the reference's ``--dataset`` values.
 
     Returns (dataset, metric_factory) where metric_factory(class_names)
@@ -80,7 +80,9 @@ def get_dataset(name: str, root: str, split: str = "train"):
         from viddet_tpu.data.imgnetvid import ImageNetVidDetection
         from viddet_tpu.eval.vid_motion_iou import VIDDetectionMetric
 
-        ds = ImageNetVidDetection(root, split="train" if split == "train" else "val")
+        ds = ImageNetVidDetection(
+            root, split="train" if split == "train" else "val", **dataset_kw
+        )
         return ds, lambda names: VIDDetectionMetric(ds, class_names=names)
     raise ValueError(f"unknown dataset {name!r} (voc|coco|det|vid)")
 
@@ -103,6 +105,10 @@ def build_model(network: str, dataset: str, classes=None, **kw):
         from viddet_tpu.models.zoo import _ssd
 
         return _ssd(classes, **kw)
+    if network.startswith("faster_rcnn"):
+        from viddet_tpu.models.zoo import _frcnn
+
+        return _frcnn(classes, **kw)
     from viddet_tpu.models.zoo import yolo3_custom
 
     kw.pop("image_size", None)
@@ -115,11 +121,17 @@ def make_predictor(module):
     registered model family (YOLOv3 / temporal YOLOv3 / SSD)."""
     import jax
 
+    from viddet_tpu.models.faster_rcnn import (
+        FasterRCNN,
+        frcnn_forward_and_postprocess,
+    )
     from viddet_tpu.models.ssd import SSD, ssd_forward_and_postprocess
     from viddet_tpu.models.yolo3 import forward_and_postprocess
 
     if isinstance(module, SSD):
         fn = ssd_forward_and_postprocess
+    elif isinstance(module, FasterRCNN):
+        fn = frcnn_forward_and_postprocess
     else:
         fn = forward_and_postprocess
 

@@ -63,6 +63,11 @@ def parse_args(argv=None):
                    help="disable mixup for the final N epochs")
     p.add_argument("--label-smooth", action="store_true")
     p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--temporal-k", type=int, default=1,
+                   help="k-frame clip window (VID temporal models; 1 = single frame)")
+    p.add_argument("--temporal-stride", type=int, default=1)
+    p.add_argument("--temporal-agg", default="max",
+                   choices=["stack", "max", "mean", "conv"])
     p.add_argument("--resume", default="", help="checkpoint dir/path to resume")
     p.add_argument("--start-epoch", type=int, default=0)
     p.add_argument("--save-prefix", default="yolo3")
@@ -102,20 +107,42 @@ def main(argv=None):
     logger = setup_logging(args.save_prefix)
     logger.info("args: %s", vars(args))
 
-    train_ds, _ = get_dataset(args.dataset, args.data_root, split="train")
-    val_ds, metric_factory = get_dataset(args.dataset, args.data_root, split="val")
-    module, class_names = build_model(
-        args.network, args.dataset, classes=train_ds.classes
+    temporal = args.temporal_k > 1
+    ds_kw = (
+        dict(window=args.temporal_k, stride=args.temporal_stride)
+        if temporal and args.dataset == "vid" else {}
     )
+    train_ds, _ = get_dataset(args.dataset, args.data_root, split="train", **ds_kw)
+    val_ds, metric_factory = get_dataset(
+        args.dataset, args.data_root, split="val", **ds_kw
+    )
+    if temporal:
+        from viddet_tpu.models.zoo import temporal_yolo3_custom
+
+        backbone = "tiny" if "tiny" in args.network else "darknet53"
+        module, class_names = temporal_yolo3_custom(
+            train_ds.classes, k=args.temporal_k,
+            aggregation=args.temporal_agg, backbone=backbone,
+        )
+    else:
+        module, class_names = build_model(
+            args.network, args.dataset, classes=train_ds.classes
+        )
     num_classes = len(class_names)
 
     shape = args.data_shape
     sizes = None if args.no_random_shape else [
         (s, s) for s in range(320, 609, 64)
     ]
+    if temporal:
+        from viddet_tpu.data.clip_transforms import ClipTrainTransform
+
+        train_transform = ClipTrainTransform(size=(shape, shape))
+    else:
+        train_transform = TrainTransform(size=(shape, shape))
     train_loader = DetectionLoader(
         train_ds,
-        TrainTransform(size=(shape, shape)),
+        train_transform,
         batch_size=args.batch_size,
         train=True,
         sizes=sizes,
@@ -125,7 +152,10 @@ def main(argv=None):
     steps_per_epoch = max(len(train_loader), 1)
 
     # --- state -------------------------------------------------------------
-    x0 = jnp.zeros((2, shape, shape, 3), jnp.float32)
+    x0 = (
+        jnp.zeros((2, args.temporal_k, shape, shape, 3), jnp.float32)
+        if temporal else jnp.zeros((2, shape, shape, 3), jnp.float32)
+    )
     variables = module.init(jax.random.key(args.seed), x0, train=True)
     schedule = make_lr_schedule(
         args.lr,
@@ -232,14 +262,20 @@ def main(argv=None):
 def validate(module, state, val_ds, metric, args, eval_step):
     from viddet_tpu.data.transforms import invert_affine_to_boxes
 
+    if getattr(args, "temporal_k", 1) > 1:
+        from viddet_tpu.data.clip_transforms import ClipValTransform
+
+        val_transform = ClipValTransform(size=(args.data_shape, args.data_shape))
+    else:
+        val_transform = ValTransform(size=(args.data_shape, args.data_shape))
     loader = DetectionLoader(
         val_ds,
-        ValTransform(size=(args.data_shape, args.data_shape)),
+        val_transform,
         batch_size=args.batch_size,
         train=False,
         num_workers=args.num_workers,
     )
-    for images, gt_boxes, gt_ids, difficult, affines, _idx in loader:
+    for images, gt_boxes, gt_ids, difficult, affines, idxs in loader:
         n = images.shape[0]
         batch = images
         if n < args.batch_size:
@@ -254,12 +290,15 @@ def validate(module, state, val_ds, metric, args, eval_step):
         boxes_orig = np.stack(
             [invert_affine_to_boxes(boxes[i], affines[i]) for i in range(n)]
         )
-        gt_orig = np.stack(
-            [invert_affine_to_boxes(gt_boxes[i], affines[i]) for i in range(n)]
-        )
-        gt_orig[gt_ids < 0] = -1.0
-        metric.update(boxes_orig, ids, scores, gt_orig, gt_ids,
-                      difficult if difficult is not None else None)
+        if hasattr(metric, "update_with_indices"):  # COCO / VID protocols
+            metric.update_with_indices(boxes_orig, ids, scores, idxs[:n])
+        else:
+            gt_orig = np.stack(
+                [invert_affine_to_boxes(gt_boxes[i], affines[i]) for i in range(n)]
+            )
+            gt_orig[gt_ids < 0] = -1.0
+            metric.update(boxes_orig, ids, scores, gt_orig, gt_ids,
+                          difficult if difficult is not None else None)
     return metric
 
 
