@@ -82,6 +82,9 @@ def parse_args(argv=None):
                         "are always global-batch under GSPMD (a superset)")
     p.add_argument("--profile", type=int, default=0,
                    help="trace N steps with jax.profiler into <save-prefix>_trace")
+    p.add_argument("--fault-inject", type=int, default=0,
+                   help="crash (after checkpointing) at step N — resume-path "
+                        "test hook (SURVEY.md §5.3)")
     return p.parse_args(argv)
 
 
@@ -235,6 +238,12 @@ def main(argv=None):
                     epoch, i + 1, speed,
                     means.get("obj", 0), means.get("center", 0),
                     means.get("scale", 0), means.get("cls", 0),
+                )
+            if args.fault_inject and total_steps == args.fault_inject:
+                save_checkpoint(ckpt_dir, state, int(state.step))
+                raise RuntimeError(
+                    f"fault injected at step {total_steps} (checkpoint saved; "
+                    f"resume with --resume {ckpt_dir})"
                 )
             if args.max_steps and total_steps >= args.max_steps:
                 logger.info("reached max-steps=%d, stopping", args.max_steps)
