@@ -1,0 +1,59 @@
+import os
+
+import cv2
+import numpy as np
+
+from viddet_tpu.data.packed import PackedDetection, pack_dataset, write_shard
+
+
+class _TinyDiskDataset:
+    classes = ("a", "b")
+    wn_classes = ("n1", "n2")
+
+    def __init__(self, root):
+        self._root = root
+        self._labels = [
+            np.array([[1, 2, 30, 40, 0, 0]], np.float32),
+            np.array([[5, 5, 20, 20, 1, 0], [0, 0, 10, 10, 0, 1]], np.float32),
+            np.zeros((0, 6), np.float32),
+        ]
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            img = rng.integers(0, 255, (40, 50, 3)).astype(np.uint8)
+            cv2.imwrite(os.path.join(root, f"{i}.jpg"), img)
+
+    def __len__(self):
+        return 3
+
+    def image_path(self, i):
+        return os.path.join(self._root, f"{i}.jpg")
+
+    def label(self, i):
+        return self._labels[i]
+
+
+def test_pack_and_read_roundtrip(tmp_path):
+    src = _TinyDiskDataset(str(tmp_path))
+    shards = pack_dataset(src, str(tmp_path / "packed"), shard_size=2)
+    assert len(shards) == 2  # 3 records, shard size 2
+
+    ds = PackedDetection(shards, classes=src.classes, wn_classes=src.wn_classes)
+    assert len(ds) == 3
+    for i in range(3):
+        img, label = ds[i]
+        np.testing.assert_array_equal(label, src.label(i))
+        ref = cv2.cvtColor(cv2.imread(src.image_path(i)), cv2.COLOR_BGR2RGB)
+        np.testing.assert_array_equal(img, ref)
+
+
+def test_shard_index(tmp_path):
+    path = str(tmp_path / "s.vdtp")
+    n = write_shard(
+        path,
+        [(b"\x01\x02\x03", np.zeros((0, 6), np.float32), "x")],
+    )
+    assert n == 1
+    assert os.path.exists(path + ".idx")
+    with open(path + ".idx") as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 1

@@ -148,7 +148,9 @@ def load_weights(module, weights_path: str, image_size: int = 416):
 
     from viddet_tpu.train.state import load_weights_npz
 
-    x = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    k = getattr(module, "k", None)  # temporal models take [B, k, H, W, 3]
+    shape = (1, image_size, image_size, 3) if k is None else (1, k, image_size, image_size, 3)
+    x = jnp.zeros(shape, jnp.float32)
     variables = module.init(jax.random.key(0), x, train=False)
     if weights_path:
         params, batch_stats = load_weights_npz(weights_path)

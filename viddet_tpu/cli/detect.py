@@ -49,6 +49,8 @@ VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
 
 
 def collect_inputs(path: str):
+    if path.isdigit():  # webcam index, as the reference's detect.py supports
+        return "video", [int(path)]
     if os.path.isdir(path):
         files = sorted(
             f for f in glob.glob(os.path.join(path, "*"))

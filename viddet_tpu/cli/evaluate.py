@@ -34,6 +34,11 @@ def parse_args(argv=None):
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--letterbox", action="store_true", default=False)
     p.add_argument("--max-images", type=int, default=0, help="0 = all")
+    p.add_argument("--temporal-k", type=int, default=1,
+                   help="k-frame clip window for VID temporal models")
+    p.add_argument("--temporal-stride", type=int, default=1)
+    p.add_argument("--temporal-agg", default="max",
+                   choices=["stack", "max", "mean", "conv"])
     return p.parse_args(argv)
 
 
@@ -43,9 +48,15 @@ def evaluate(module, variables, dataset, metric, args, logger):
     infer = make_predictor(module)
 
     size = (args.data_shape, args.data_shape)
+    if getattr(args, "temporal_k", 1) > 1:
+        from viddet_tpu.data.clip_transforms import ClipValTransform
+
+        transform = ClipValTransform(size=size, letterbox_resize=args.letterbox)
+    else:
+        transform = ValTransform(size=size, letterbox_resize=args.letterbox)
     loader = DetectionLoader(
         dataset,
-        ValTransform(size=size, letterbox_resize=args.letterbox),
+        transform,
         batch_size=args.batch_size,
         train=False,
         num_workers=args.num_workers,
@@ -83,10 +94,26 @@ def evaluate(module, variables, dataset, metric, args, logger):
 def main(argv=None):
     args = parse_args(argv)
     logger = setup_logging()
-    dataset, metric_factory = get_dataset(args.dataset, args.data_root, split="val")
-    module, class_names = build_model(
-        args.network, args.dataset, classes=dataset.classes
+    temporal = args.temporal_k > 1
+    ds_kw = (
+        dict(window=args.temporal_k, stride=args.temporal_stride)
+        if temporal and args.dataset == "vid" else {}
     )
+    dataset, metric_factory = get_dataset(
+        args.dataset, args.data_root, split="val", **ds_kw
+    )
+    if temporal:
+        from viddet_tpu.models.zoo import temporal_yolo3_custom
+
+        backbone = "tiny" if "tiny" in args.network else "darknet53"
+        module, class_names = temporal_yolo3_custom(
+            dataset.classes, k=args.temporal_k,
+            aggregation=args.temporal_agg, backbone=backbone,
+        )
+    else:
+        module, class_names = build_model(
+            args.network, args.dataset, classes=dataset.classes
+        )
     variables = load_weights(module, args.weights, args.data_shape)
     metric = metric_factory(class_names)
     names, values = evaluate(module, variables, dataset, metric, args, logger)

@@ -85,6 +85,10 @@ def parse_args(argv=None):
     p.add_argument("--fault-inject", type=int, default=0,
                    help="crash (after checkpointing) at step N — resume-path "
                         "test hook (SURVEY.md §5.3)")
+    p.add_argument("--log-dataset-stats", action="store_true",
+                   help="print per-class image/box counts before training")
+    p.add_argument("--metrics-jsonl", default="",
+                   help="append per-log-interval scalars to this jsonl file")
     return p.parse_args(argv)
 
 
@@ -132,6 +136,14 @@ def main(argv=None):
             args.network, args.dataset, classes=train_ds.classes
         )
     num_classes = len(class_names)
+    if args.log_dataset_stats:
+        stats = train_ds.statistics()
+        logger.info(
+            "train dataset: %d images, %d boxes", stats["images"], stats["boxes"]
+        )
+        for cls, n in stats["boxes_per_class"].items():
+            logger.info("  %-20s %6d boxes in %5d images",
+                        cls, n, stats["images_per_class"][cls])
 
     shape = args.data_shape
     sizes = None if args.no_random_shape else [
@@ -239,6 +251,15 @@ def main(argv=None):
                     means.get("obj", 0), means.get("center", 0),
                     means.get("scale", 0), means.get("cls", 0),
                 )
+                if args.metrics_jsonl:
+                    import json
+
+                    with open(args.metrics_jsonl, "a") as mf:
+                        mf.write(json.dumps({
+                            "step": total_steps, "epoch": epoch,
+                            "samples_per_sec": round(speed, 2),
+                            **{k: round(v, 5) for k, v in means.items()},
+                        }) + "\n")
             if args.fault_inject and total_steps == args.fault_inject:
                 save_checkpoint(ckpt_dir, state, int(state.step))
                 raise RuntimeError(

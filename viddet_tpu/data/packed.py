@@ -1,0 +1,131 @@
+"""Packed dataset shards — the RecordIO/ImageRecordIter equivalent.
+
+The reference substrate offers MXNet RecordIO packing (optional; VidDet
+itself reads raw files — SURVEY.md §3.2 N12).  This is the rebuild's packed
+format: simple length-prefixed shards that stream sequentially (one seek per
+record, kernel readahead-friendly) so the C++/threaded decode path is fed
+without per-file filesystem overhead.
+
+Shard layout (little-endian):
+  header:  magic b"VDTP0001"
+  records: [u32 meta_len][meta json utf-8][u32 payload_len][payload bytes]
+  meta:    {"label": [[x1,y1,x2,y2,cls,diff(,track)]...], "id": <str>,
+            "shape": null}  — payload is the raw (typically JPEG) image file.
+
+An index file (<shard>.idx, one "offset size" pair per line) enables O(1)
+random access for shuffling without scanning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from viddet_tpu.data.base import DetectionDataset
+
+MAGIC = b"VDTP0001"
+
+
+def write_shard(path: str, records) -> int:
+    """records: iterable of (image_bytes, label ndarray, id str). Returns count."""
+    count = 0
+    with open(path, "wb") as f, open(path + ".idx", "w") as idx:
+        f.write(MAGIC)
+        for payload, label, rec_id in records:
+            meta = json.dumps(
+                {"label": np.asarray(label, np.float32).tolist(), "id": str(rec_id)}
+            ).encode()
+            offset = f.tell()
+            f.write(struct.pack("<I", len(meta)))
+            f.write(meta)
+            f.write(struct.pack("<I", len(payload)))
+            f.write(payload)
+            idx.write(f"{offset} {f.tell() - offset}\n")
+            count += 1
+    return count
+
+
+def pack_dataset(dataset: DetectionDataset, out_prefix: str,
+                 shard_size: int = 1024) -> List[str]:
+    """Pack any DetectionDataset with an ``image_path`` into shards."""
+    shards = []
+    buf = []
+    shard_idx = 0
+
+    def flush():
+        nonlocal buf, shard_idx
+        if not buf:
+            return
+        path = f"{out_prefix}-{shard_idx:05d}.vdtp"
+        write_shard(path, buf)
+        shards.append(path)
+        shard_idx += 1
+        buf = []
+
+    for i in range(len(dataset)):
+        with open(dataset.image_path(i), "rb") as f:
+            payload = f.read()
+        buf.append((payload, dataset.label(i), i))
+        if len(buf) >= shard_size:
+            flush()
+    flush()
+    return shards
+
+
+class PackedDetection(DetectionDataset):
+    """Reads shards written by ``pack_dataset``/``write_shard``.
+
+    classes must be supplied (the packed label carries numeric ids only).
+    """
+
+    def __init__(self, shards: Sequence[str], classes: Sequence[str],
+                 wn_classes: Optional[Sequence[str]] = None):
+        self.classes = tuple(classes)
+        self.wn_classes = tuple(wn_classes or [""] * len(classes))
+        self._entries: List[Tuple[str, int]] = []  # (shard, offset)
+        for shard in shards:
+            with open(shard + ".idx") as idx:
+                for line in idx:
+                    offset, _size = line.split()
+                    self._entries.append((shard, int(offset)))
+        self._files = {}
+
+    def _file(self, shard: str):
+        if shard not in self._files:
+            f = open(shard, "rb")
+            if f.read(len(MAGIC)) != MAGIC:
+                raise ValueError(f"bad shard magic: {shard}")
+            self._files[shard] = f
+        return self._files[shard]
+
+    def __len__(self):
+        return len(self._entries)
+
+    def _read(self, idx: int):
+        shard, offset = self._entries[idx]
+        f = self._file(shard)
+        f.seek(offset)
+        (meta_len,) = struct.unpack("<I", f.read(4))
+        meta = json.loads(f.read(meta_len))
+        (payload_len,) = struct.unpack("<I", f.read(4))
+        payload = f.read(payload_len)
+        label = np.asarray(meta["label"], np.float32)
+        if label.size == 0:
+            label = np.zeros((0, 6), np.float32)
+        return payload, label
+
+    def label(self, idx: int) -> np.ndarray:
+        return self._read(idx)[1]
+
+    def __getitem__(self, idx: int):
+        import cv2
+
+        payload, label = self._read(idx)
+        img = cv2.imdecode(np.frombuffer(payload, np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError(f"record {idx}: undecodable payload")
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB), label

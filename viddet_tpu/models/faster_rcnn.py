@@ -486,7 +486,7 @@ def frcnn_postprocess(
     backend: str = "xla",
 ):
     """(B,R,4) proposals + head outputs -> padded (ids, scores, boxes)."""
-    b, r, c4 = box_deltas.shape[0], box_deltas.shape[1], box_deltas.shape[2]
+    b, r = box_deltas.shape[0], box_deltas.shape[1]
     probs = jax.nn.softmax(cls_logits, axis=-1)[..., 1:]  # (B, R, C)
     boxes = decode_rcnn(
         box_deltas, proposals[:, :, None, :], weights=(10.0, 10.0, 5.0, 5.0)

@@ -80,7 +80,6 @@ def generate_ssd_anchors(image_size: int) -> np.ndarray:
     Feature-map sizes follow SAME-padding stride-2 convs: ceil division.
     """
     all_anchors = []
-    size = image_size
     for li, stride in enumerate(SSD512_STRIDES):
         fm = max(-(-image_size // stride), 1)
         all_anchors.append(_layer_anchors(fm, fm, stride, li))
