@@ -67,10 +67,19 @@ def nms_keep_mask(
 
 
 def _compact_and_pad(cand_boxes, top_scores, cls_idx, keep, post_nms):
-    """Move kept candidates to the front (score order), pad with -1."""
-    order = jnp.argsort(~keep, stable=True)
-    take = order[:post_nms]
-    kept = keep[take]
+    """Move kept candidates to the front (score order), pad with -1.
+
+    Stable compaction via cumsum + scatter (cheaper than an argsort on TPU):
+    the s-th kept candidate's source index is scattered into slot s.
+    """
+    k = keep.shape[0]
+    pos = jnp.cumsum(keep) - 1  # output slot for each kept candidate
+    slot = jnp.where(keep & (pos < post_nms), pos, post_nms)  # dropped if >=
+    take = jnp.full((post_nms + 1,), k, jnp.int32).at[slot].set(
+        jnp.arange(k, dtype=jnp.int32), mode="drop"
+    )[:post_nms]
+    kept = take < k
+    take = jnp.minimum(take, k - 1)
     out_ids = jnp.where(kept, cls_idx[take], -1.0)
     out_scores = jnp.where(kept, top_scores[take], -1.0)
     out_boxes = jnp.where(kept[:, None], cand_boxes[take], -1.0)

@@ -1,13 +1,21 @@
 """Pallas TPU kernel for the greedy NMS suppression loop.
 
 The dense math (pairwise IoU -> boolean suppression matrix) is left to XLA,
-which fuses it well; what XLA does badly is the *sequential* greedy scan
-(an HLO while-loop pays ~100µs/iteration of loop machinery).  This kernel
-runs the scan entirely in VMEM: per batch element, 1 dynamic row-slice +
-2 vector ops per candidate, ~K iterations of on-core work.
+which fuses it well; what XLA does badly is the *sequential* greedy scan.
+The kernel inverts the loop: the grid iterates over candidate RANK i, and
+each step applies row i's suppression to ALL batch elements at once —
 
-Exactly matches ``ops.nms.nms_keep_mask`` (the jnp oracle) — tested in
-interpret mode on CPU and compiled on TPU.
+  * the (K, B, K) suppression matrix streams through VMEM one (1, B, K)
+    slice per step (bf16, exact for a 0/1 mask), double-buffered by the
+    Pallas pipeline;
+  * the running keep mask lives in a persistent VMEM scratch (TPU grids are
+    sequential, scratch survives across steps);
+  * the per-step cross-lane extraction of keep[:, i] amortizes over the
+    whole batch instead of costing one reduce per image.
+
+This makes the scan ~O(K) vector steps for the entire batch rather than
+O(B*K).  Exactly matches ``ops.nms.nms_keep_mask`` (the jnp oracle) —
+tested in interpret mode on CPU and compiled on TPU.
 """
 
 from __future__ import annotations
@@ -19,24 +27,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from viddet_tpu.ops.boxes import box_iou
 
 
-def _greedy_scan_kernel(sup_ref, valid_ref, keep_ref):
-    """sup_ref (1,K,K) f32 upper-tri suppress matrix; valid/keep (1,1,K) f32.
+def _greedy_rows_kernel(sup_ref, valid_ref, keep_ref, keep_scratch):
+    """Grid step i: suppress later candidates of every image by row i.
 
-    The (B,1,K) layout (instead of (B,K)) keeps the block's trailing two
-    dims equal to the array dims, as Mosaic requires.
+    sup_ref: (1, B, K) bf16 block — row i of each image's suppress matrix.
+    valid_ref / keep_ref: (B, K) f32 full arrays.
+    keep_scratch: persistent (B, K) f32 VMEM accumulator.
     """
-    k = valid_ref.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    i = pl.program_id(0)
 
-    def body(i, keep):
-        keep_i = jnp.sum(jnp.where(col == i, keep, 0.0))
-        row = sup_ref[0, pl.ds(i, 1), :]  # (1, K)
-        return keep * (1.0 - keep_i * row)
+    @pl.when(i == 0)
+    def _():
+        keep_scratch[:] = valid_ref[:]
 
-    keep_ref[0] = jax.lax.fori_loop(0, k, body, valid_ref[0])
+    keep = keep_scratch[:]
+    col = jax.lax.broadcasted_iota(jnp.int32, keep.shape, 1)
+    keep_i = jnp.sum(jnp.where(col == i, keep, 0.0), axis=1, keepdims=True)  # (B,1)
+    row = sup_ref[0].astype(jnp.float32)  # (B, K)
+    keep_scratch[:] = keep * (1.0 - keep_i * row)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        keep_ref[:] = keep_scratch[:]
 
 
 @functools.partial(jax.jit, static_argnames=("iou_thresh", "interpret"))
@@ -57,20 +71,36 @@ def nms_keep_mask_pallas(
     Returns (B, K) float32 keep mask (1.0 = kept).
     """
     b, k, _ = boxes.shape
-    iou = box_iou(boxes, boxes)  # (B, K, K) — dense, XLA-fused
     col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-    sup = ((iou > iou_thresh) & (col > row)[None]).astype(jnp.float32)
+    upper = (col > row)[:, None, :]  # (K, 1, K)
+    # IoU in rank-major layout: sup[i, b, j] = suppress(j by i) for image b —
+    # built directly in (K, B, K) so no big-transpose materializes.
+    a = jnp.swapaxes(boxes, 0, 1)[:, :, None, :]  # (K, B, 1, 4)
+    c = boxes[None]  # (1, B, K, 4)
+    lt = jnp.maximum(a[..., :2], c[..., :2])
+    rb = jnp.minimum(a[..., 2:], c[..., 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]  # (K, B, K)
+    area_a = jnp.maximum(a[..., 2] - a[..., 0], 0.0) * jnp.maximum(
+        a[..., 3] - a[..., 1], 0.0
+    )
+    area_c = jnp.maximum(c[..., 2] - c[..., 0], 0.0) * jnp.maximum(
+        c[..., 3] - c[..., 1], 0.0
+    )
+    iou = inter / jnp.maximum(area_a + area_c - inter, 1e-12)
+    sup = ((iou > iou_thresh) & upper).astype(jnp.bfloat16)  # (K, B, K)
 
     keep = pl.pallas_call(
-        _greedy_scan_kernel,
-        grid=(b,),
+        _greedy_rows_kernel,
+        grid=(k,),
         in_specs=[
-            pl.BlockSpec((1, k, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 1, k), jnp.float32),
+        out_specs=pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, k), jnp.float32)],
         interpret=interpret,
-    )(sup, valid.astype(jnp.float32).reshape(b, 1, k))
-    return keep.reshape(b, k)
+    )(sup, valid.astype(jnp.float32))
+    return keep
