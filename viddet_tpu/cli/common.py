@@ -17,6 +17,43 @@ import jax
 import numpy as np
 
 
+def parse_with_config(parser: argparse.ArgumentParser, argv=None):
+    """argparse + typed-config superset (SURVEY.md §5.6).
+
+    Adds ``--config FILE`` (JSON defaults; explicit CLI flags still win) and
+    ``--dump-config [FILE|-]`` (write the fully-resolved flag namespace as
+    JSON and exit) to any script parser.
+    """
+    import json
+    import sys as _sys
+
+    parser.add_argument("--config", default="", help="JSON file of flag defaults")
+    parser.add_argument(
+        "--dump-config", nargs="?", const="-", default=None, metavar="FILE",
+        help="write resolved config as JSON (default stdout) and exit",
+    )
+    args = parser.parse_args(argv)
+    if args.config:
+        with open(args.config) as f:
+            overrides = json.load(f)
+        unknown = [k for k in overrides if not hasattr(args, k.replace("-", "_"))]
+        if unknown:
+            parser.error(f"--config contains unknown keys: {unknown}")
+        parser.set_defaults(**{k.replace("-", "_"): v for k, v in overrides.items()})
+        args = parser.parse_args(argv)  # CLI flags override config values
+    if args.dump_config is not None:
+        resolved = {k: v for k, v in vars(args).items()
+                    if k not in ("config", "dump_config")}
+        text = json.dumps(resolved, indent=2, default=str)
+        if args.dump_config == "-":
+            print(text)
+        else:
+            with open(args.dump_config, "w") as f:
+                f.write(text + "\n")
+        _sys.exit(0)
+    return args
+
+
 def setup_logging(save_prefix: Optional[str] = None) -> logging.Logger:
     """Console + ``<save_prefix>_train.log`` logging, reference format."""
     logger = logging.getLogger("viddet_tpu")

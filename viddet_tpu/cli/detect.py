@@ -41,7 +41,8 @@ def parse_args(argv=None):
     p.add_argument("--every", type=int, default=1, help="process every nth frame")
     p.add_argument("--save-detections", action="store_true", help="write det .txt")
     p.add_argument("--no-draw", action="store_true")
-    return p.parse_args(argv)
+    from viddet_tpu.cli.common import parse_with_config
+    return parse_with_config(p, argv)
 
 
 IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp")

@@ -39,7 +39,8 @@ def parse_args(argv=None):
     p.add_argument("--temporal-stride", type=int, default=1)
     p.add_argument("--temporal-agg", default="max",
                    choices=["stack", "max", "mean", "conv"])
-    return p.parse_args(argv)
+    from viddet_tpu.cli.common import parse_with_config
+    return parse_with_config(p, argv)
 
 
 def evaluate(module, variables, dataset, metric, args, logger):

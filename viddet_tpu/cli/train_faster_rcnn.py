@@ -53,7 +53,8 @@ def parse_args(argv=None):
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--seed", type=int, default=233)
     p.add_argument("--max-steps", type=int, default=0)
-    return p.parse_args(argv)
+    from viddet_tpu.cli.common import parse_with_config
+    return parse_with_config(p, argv)
 
 
 def main(argv=None):

@@ -89,7 +89,8 @@ def parse_args(argv=None):
                    help="print per-class image/box counts before training")
     p.add_argument("--metrics-jsonl", default="",
                    help="append per-log-interval scalars to this jsonl file")
-    return p.parse_args(argv)
+    from viddet_tpu.cli.common import parse_with_config
+    return parse_with_config(p, argv)
 
 
 def mixup_batch(images, boxes, ids, rng):

@@ -41,7 +41,8 @@ def parse_args(argv=None):
     p.add_argument("--max-images", type=int, default=0)
     p.add_argument("--video", default="", help="also write an mp4 of the frames")
     p.add_argument("--fps", type=float, default=25.0)
-    return p.parse_args(argv)
+    from viddet_tpu.cli.common import parse_with_config
+    return parse_with_config(p, argv)
 
 
 def load_det_txt(path, name_to_id):

@@ -85,9 +85,15 @@ class DetectionLoader:
     def _sample(self, idx: int, rng: np.random.Generator, size):
         image, label = self.dataset[idx]
         if self.train:
-            if size is not None:
-                self.transform.size = size
-            image, label = self.transform(image, label, rng)
+            transform = self.transform
+            if size is not None and size != transform.size:
+                # per-call copy: workers run concurrently with different
+                # multi-scale bucket sizes, so the shared transform must
+                # never be mutated
+                import dataclasses as _dc
+
+                transform = _dc.replace(transform, size=size)
+            image, label = transform(image, label, rng)
             affine = None
         else:
             image, label, affine = self.transform(image, label)
