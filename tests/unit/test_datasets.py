@@ -191,3 +191,60 @@ def test_combined_remaps_classes(vid_root):
     _, label = combined[3]
     ids = set(label[:, 4].astype(int).tolist())
     assert ids <= {1, 2}
+
+
+def det_xml(objects):
+    root = ET.Element("annotation")
+    for wnid, box in objects:
+        obj = ET.SubElement(root, "object")
+        ET.SubElement(obj, "name").text = wnid
+        bb = ET.SubElement(obj, "bndbox")
+        for tag, v in zip(("xmin", "ymin", "xmax", "ymax"), box):
+            ET.SubElement(bb, tag).text = str(v)
+    return ET.tostring(root).decode()
+
+
+@pytest.fixture
+def det_root(tmp_path):
+    root = tmp_path / "ILSVRC2015"
+    ann = root / "Annotations" / "DET" / "train" / "sub"
+    data = root / "Data" / "DET" / "train" / "sub"
+    ann.mkdir(parents=True)
+    data.mkdir(parents=True)
+    items = {
+        "a": [("n02958343", (5, 5, 30, 30))],        # car (VID class)
+        "b": [("n99999999", (1, 1, 20, 20))],        # non-VID class
+        "c": [],                                      # empty
+    }
+    for stem, objs in items.items():
+        (ann / f"{stem}.xml").write_text(det_xml(objs))
+        write_jpg(str(data / f"{stem}.JPEG"))
+    return str(root)
+
+
+def test_imgnet_det_full_classes(det_root):
+    from viddet_tpu.data.imgnetdet import ImageNetDetection
+
+    ds = ImageNetDetection(det_root, split="train")
+    # classes discovered from annotations, sorted wnids
+    assert ds.wn_classes == ("n02958343", "n99999999")
+    assert len(ds) == 2  # empty image dropped
+    img, label = ds[0]
+    assert label.shape == (1, 6)
+
+
+def test_imgnet_det_vid_classes_only(det_root):
+    from viddet_tpu.data.imgnetdet import ImageNetDetection
+
+    ds = ImageNetDetection(det_root, split="train", vid_classes_only=True)
+    assert len(ds.classes) == 30
+    assert len(ds) == 1  # only the car image retains boxes
+    _, label = ds[0]
+    assert label[0, 4] == ds.wn_classes.index("n02958343")
+
+
+def test_imgnet_det_allow_empty(det_root):
+    from viddet_tpu.data.imgnetdet import ImageNetDetection
+
+    ds = ImageNetDetection(det_root, split="train", allow_empty=True)
+    assert len(ds) == 3
