@@ -89,6 +89,10 @@ def parse_args(argv=None):
                    help="print per-class image/box counts before training")
     p.add_argument("--metrics-jsonl", default="",
                    help="append per-log-interval scalars to this jsonl file")
+    p.add_argument("--precompile", action="store_true",
+                   help="AOT-compile the train step for every multi-scale "
+                        "bucket before the first epoch (N2 equivalent: fixed "
+                        "executable set, no mid-epoch compile stalls)")
     from viddet_tpu.cli.common import parse_with_config
     return parse_with_config(p, argv)
 
@@ -216,6 +220,22 @@ def main(argv=None):
     total_steps = 0
     mix_rng = np.random.default_rng(args.seed + 1)
     ckpt_dir = f"{args.save_prefix}_ckpt"
+
+    if args.precompile and sizes and not temporal:
+        # warm every multi-scale bucket's executable up front (on a copied
+        # state: the real step donates its input buffers)
+        logger.info("precompiling %d bucket sizes...", len(sizes))
+        for sh, sw in sizes:
+            dummy_state = jax.tree_util.tree_map(jnp.copy, state)
+            per = max(args.batch_size, 1)
+            tic = time.time()
+            train_step(
+                dummy_state,
+                jnp.zeros((per, sh, sw, 3), jnp.float32),
+                -jnp.ones((per, 1, 4), jnp.float32),
+                -jnp.ones((per, 1), jnp.int32),
+            )
+            logger.info("  %dx%d compiled in %.1fs", sh, sw, time.time() - tic)
 
     for epoch in range(start_epoch, args.epochs):
         tic = time.time()
