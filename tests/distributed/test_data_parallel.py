@@ -66,3 +66,30 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(pa), np.asarray(pb), rtol=1e-3, atol=2e-5
         )
+
+
+def test_compiled_step_contains_allreduce():
+    """The GSPMD-partitioned train step must carry a cross-device
+    all-reduce (the KVStore/NCCL equivalent) when the batch is sharded."""
+    module = YOLOv3(num_classes=3, backbone="tiny", policy=FLOAT32_POLICY)
+    size, batch = 64, 8
+    x = jnp.zeros((batch, size, size, 3), jnp.float32)
+    variables = module.init(jax.random.key(0), x, train=True)
+    tx = make_optimizer(make_lr_schedule(1e-3, 1), weight_decay=0.0)
+    state = TrainState.create(
+        params=variables["params"], batch_stats=variables["batch_stats"], tx=tx
+    )
+    step = make_train_step(
+        module,
+        strides=(32, 16),
+        anchors=(((40, 40), (24, 48), (48, 24)), ((10, 10), (16, 8), (8, 16))),
+        num_classes=3,
+    )
+    mesh = make_mesh()
+    state = jax.tree.map(lambda a: jax.device_put(a, replicate(mesh)), state)
+    gt_boxes = jnp.zeros((batch, 2, 4))
+    gt_ids = jnp.zeros((batch, 2), jnp.int32)
+    sharded = put_batch((x, gt_boxes, gt_ids), mesh)
+    compiled = step.lower(state, *sharded).compile()
+    hlo = compiled.as_text()
+    assert "all-reduce" in hlo, "no cross-device reduction in the DP step"

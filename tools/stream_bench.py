@@ -1,0 +1,104 @@
+"""End-to-end streaming benchmark: video file -> decode -> TPU -> boxes.
+
+Measures the BASELINE.json north-star path (decode-to-boxes) including host
+video decode, through the pipelined streaming detector (C++ FFmpeg decode
+thread when available, cv2 fallback).  NOTE: end-to-end throughput is bounded
+by host decode cores — this container has ONE host CPU core, so the
+device-side ceiling (bench.py) is not reachable here; on a production v5e
+host (many cores) decode parallelism scales with the C++ thread pool.
+
+Usage: python tools/stream_bench.py [--video FILE] [--batch 64] [--frames 512]
+(generates a synthetic 416p test video if none given)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_test_video(path: str, frames: int, size=(416, 416), fps=30):
+    import cv2
+    import numpy as np
+
+    vw = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (size[1], size[0])
+    )
+    rng = np.random.default_rng(0)
+    base = rng.integers(60, 200, (size[0], size[1], 3)).astype(np.uint8)
+    for t in range(frames):
+        frame = np.roll(base, t * 3, axis=1).copy()
+        cv2.rectangle(frame, (50 + t % 100, 80), (150 + t % 100, 220), (0, 0, 255), -1)
+        vw.write(frame)
+    vw.release()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--video", default="")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--frames", type=int, default=512)
+    p.add_argument("--data-shape", type=int, default=416)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from viddet_tpu.data.transforms import ValTransform
+    from viddet_tpu.infer.stream import FrameSource, NativeFrameSource, stream_detect
+    from viddet_tpu.models import get_model
+    from viddet_tpu.models.yolo3 import forward_and_postprocess
+
+    video = args.video
+    if not video:
+        video = "/tmp/stream_bench.mp4"
+        print(f"generating {args.frames}-frame test video...")
+        make_test_video(video, args.frames, (args.data_shape, args.data_shape))
+
+    module, _ = get_model("yolo3_darknet53_coco")
+    shape = args.data_shape
+    variables = module.init(jax.random.key(0), jnp.zeros((2, shape, shape, 3)), train=False)
+
+    @jax.jit
+    def infer(v, im):
+        return forward_and_postprocess(module, v, im)
+
+    # warm the executable
+    np.asarray(infer(variables, jnp.zeros((args.batch, shape, shape, 3), jnp.float32))[0])
+
+    from viddet_tpu import native
+
+    size = (shape, shape)
+    if native.available():
+        source = NativeFrameSource(video, size)
+        kind = "native C++ decode"
+    else:
+        source = FrameSource(video, ValTransform(size=size, letterbox_resize=True))
+        kind = "cv2 decode thread"
+
+    t0 = time.perf_counter()
+    n = 0
+    for _ in stream_detect(iter(source), infer, variables, args.batch, size):
+        n += 1
+    dt = time.perf_counter() - t0
+    print(
+        f"end-to-end ({kind}, host_cores={os.cpu_count()}): "
+        f"{n} frames in {dt:.2f}s = {n/dt:.1f} fps"
+    )
+
+    # decode-only reference (host ceiling)
+    if native.available():
+        source = NativeFrameSource(video, size)
+        t0 = time.perf_counter()
+        n = sum(1 for _ in source)
+        dt = time.perf_counter() - t0
+        print(f"decode-only ceiling: {n/dt:.1f} fps")
+
+
+if __name__ == "__main__":
+    main()
