@@ -54,3 +54,23 @@ def test_multilevel_matches_single_level():
     got = multilevel_roi_align([p2, p3], rois, strides=[4, 8], k_min=2)
     want = roi_align(p2, rois, 0.25)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_packed_matches_masked_multilevel():
+    from viddet_tpu.ops.roi_align import multilevel_roi_align_packed
+
+    rng = np.random.default_rng(1)
+    pyramid = [
+        jnp.asarray(rng.uniform(size=(64, 64, 8)).astype(np.float32)),
+        jnp.asarray(rng.uniform(size=(32, 32, 8)).astype(np.float32)),
+        jnp.asarray(rng.uniform(size=(16, 16, 8)).astype(np.float32)),
+        jnp.asarray(rng.uniform(size=(8, 8, 8)).astype(np.float32)),
+    ]
+    strides = [4, 8, 16, 32]
+    pts = rng.uniform(0, 250, size=(24, 2, 2)).astype(np.float32)
+    rois = jnp.asarray(
+        np.concatenate([pts.min(1), pts.max(1) + 8.0], axis=-1)
+    )
+    want = multilevel_roi_align(pyramid, rois, strides, k_min=2)
+    got = multilevel_roi_align_packed(pyramid, rois, strides, k_min=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

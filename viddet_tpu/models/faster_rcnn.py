@@ -34,7 +34,7 @@ from viddet_tpu.core.precision import Policy, DEFAULT_POLICY
 from viddet_tpu.models.resnet import ResNet50
 from viddet_tpu.ops.boxes import box_iou, clip_boxes
 from viddet_tpu.ops.nms import _compact_and_pad, _class_offset, nms_keep_mask
-from viddet_tpu.ops.roi_align import multilevel_roi_align
+from viddet_tpu.ops.roi_align import multilevel_roi_align_packed
 
 FPN_STRIDES = (4, 8, 16, 32, 64)  # P2..P6
 ANCHOR_SCALES = (32.0, 64.0, 128.0, 256.0, 512.0)
@@ -234,9 +234,10 @@ class FasterRCNN(nn.Module):
             dtype=self.policy.compute_dtype, param_dtype=self.policy.param_dtype
         )
         b, r, _ = rois.shape
-        # ROIAlign per image over the P2..P5 pyramid (P6 is RPN-only)
+        # ROIAlign per image over the P2..P5 pyramid (P6 is RPN-only);
+        # packed formulation: one gather pass per roi (ops/roi_align.py)
         feats = jax.vmap(
-            lambda maps, boxes: multilevel_roi_align(
+            lambda maps, boxes: multilevel_roi_align_packed(
                 maps, boxes, strides=FPN_STRIDES[:4], output_size=7, k_min=2
             ),
             in_axes=(0, 0),

@@ -155,6 +155,13 @@ class YOLOv3Head(nn.Module):
         # (B, N, C) class logits are only ever reduced/gathered by the
         # two-stage NMS (ops/nms.py) or upcast per-term by the loss, so a
         # float32 materialization here would cost pure HBM bandwidth.
+        # cls_max (the per-anchor best class logit, feeding the NMS's first
+        # top-k) is reduced PER SCALE right after each output conv so it
+        # fuses with the conv's consumer chain instead of re-reading the
+        # concatenated tensor later.
+        cls_max = jnp.concatenate(
+            [jnp.max(r[..., 5:], axis=-1) for r in raws], axis=1
+        )  # (B, N), compute dtype
         raw = jnp.concatenate(raws, axis=1)  # (B, N, 5+C), compute dtype
         grid_xy = jnp.concatenate([c[0] for c in consts], axis=0)
         anchor_wh = jnp.concatenate([c[1] for c in consts], axis=0)
@@ -176,6 +183,7 @@ class YOLOv3Head(nn.Module):
             "raw_wh": raw_wh,
             "raw_obj": raw_obj,  # compute dtype; upcast at point of use
             "raw_cls": raw_cls,  # compute dtype; upcast at point of use
+            "cls_max": cls_max,
             "boxes": boxes,
             "grid_xy": grid_xy,
             "anchors": anchor_wh,
@@ -257,6 +265,7 @@ def postprocess(
         outputs["boxes"],
         outputs["raw_obj"],
         outputs["raw_cls"],
+        outputs.get("cls_max"),
         iou_thresh=nms.iou_thresh,
         valid_thresh=nms.valid_thresh,
         topk=nms.topk,

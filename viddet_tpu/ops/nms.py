@@ -208,6 +208,7 @@ def multiclass_nms_from_logits(
     boxes: jnp.ndarray,
     obj_logits: jnp.ndarray,
     cls_logits: jnp.ndarray,
+    cls_max_logits: jnp.ndarray | None = None,
     *,
     iou_thresh: float = 0.45,
     valid_thresh: float = 0.01,
@@ -242,8 +243,9 @@ def multiclass_nms_from_logits(
     k = min(topk, n)
 
     obj = jax.nn.sigmoid(obj_logits[..., 0].astype(jnp.float32))  # (B, N)
-    cls_max = jnp.max(cls_logits, axis=-1).astype(jnp.float32)  # (B, N)
-    anchor_score = obj * jax.nn.sigmoid(cls_max)
+    if cls_max_logits is None:
+        cls_max_logits = jnp.max(cls_logits, axis=-1)  # (B, N)
+    anchor_score = obj * jax.nn.sigmoid(cls_max_logits.astype(jnp.float32))
 
     _, a_idx = jax.lax.top_k(anchor_score, k)  # (B, k)
     boxes_k = jnp.take_along_axis(boxes, a_idx[..., None], axis=1)  # (B, k, 4)

@@ -98,6 +98,75 @@ def fpn_roi_level(rois: jnp.ndarray, k0: int = 4, canonical: float = 224.0,
     return jnp.clip(k, k_min, k_max).astype(jnp.int32)
 
 
+def multilevel_roi_align_packed(
+    pyramid: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,
+    strides: Sequence[int],
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    k_min: int = 2,
+) -> jnp.ndarray:
+    """ROIAlign over an FPN pyramid — packed single-gather formulation.
+
+    Equivalent to ``multilevel_roi_align`` but ~len(pyramid)x cheaper: the
+    levels are flattened into one (sum HW, C) buffer and each roi's bilinear
+    samples index its assigned level via a per-roi row offset, so every roi
+    is aligned exactly once (one gather pass) instead of on every level with
+    masking.
+    """
+    p, s = output_size, sampling_ratio
+    r = rois.shape[0]
+    c = pyramid[0].shape[-1]
+    flat = jnp.concatenate([f.reshape(-1, c) for f in pyramid], axis=0)
+    hs = jnp.asarray([f.shape[0] for f in pyramid])
+    ws = jnp.asarray([f.shape[1] for f in pyramid])
+    offsets = jnp.asarray(
+        [sum(int(f.shape[0] * f.shape[1]) for f in pyramid[:i])
+         for i in range(len(pyramid))]
+    )
+    stride_arr = jnp.asarray(strides, jnp.float32)
+
+    lvl = fpn_roi_level(rois, k_min=k_min, k_max=k_min + len(pyramid) - 1) - k_min
+    scale = 1.0 / stride_arr[lvl]  # (R,)
+    lh = hs[lvl]
+    lw = ws[lvl]
+    base = offsets[lvl]
+
+    boxes = rois * scale[:, None]
+    x1, y1 = boxes[:, 0], boxes[:, 1]
+    bin_w = jnp.maximum(boxes[:, 2] - x1, 1e-3) / p
+    bin_h = jnp.maximum(boxes[:, 3] - y1, 1e-3) / p
+    grid = (jnp.arange(p * s) + 0.5) / s
+    ys = y1[:, None] + grid[None, :] * bin_h[:, None]  # (R, P*S)
+    xs = x1[:, None] + grid[None, :] * bin_w[:, None]
+    yy = jnp.broadcast_to(ys[:, :, None], (r, p * s, p * s))
+    xx = jnp.broadcast_to(xs[:, None, :], (r, p * s, p * s))
+
+    lhf = lh.astype(jnp.float32)[:, None, None]
+    lwf = lw.astype(jnp.float32)[:, None, None]
+    valid = (yy > -1.0) & (yy < lhf) & (xx > -1.0) & (xx < lwf)
+    y = jnp.clip(yy, 0.0, lhf - 1.0)
+    x = jnp.clip(xx, 0.0, lwf - 1.0)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1i = jnp.minimum(y0 + 1, lh[:, None, None] - 1)
+    x1i = jnp.minimum(x0 + 1, lw[:, None, None] - 1)
+    ly = y - y0
+    lx = x - x0
+
+    def fetch(yi, xi):
+        idx = base[:, None, None] + yi * lw[:, None, None] + xi
+        return flat[idx]  # (R, P*S, P*S, C)
+
+    out = (
+        fetch(y0, x0) * ((1 - ly) * (1 - lx))[..., None]
+        + fetch(y0, x1i) * ((1 - ly) * lx)[..., None]
+        + fetch(y1i, x0) * (ly * (1 - lx))[..., None]
+        + fetch(y1i, x1i) * (ly * lx)[..., None]
+    ) * valid[..., None]
+    return out.reshape(r, p, s, p, s, c).mean(axis=(2, 4))
+
+
 def multilevel_roi_align(
     pyramid: Sequence[jnp.ndarray],
     rois: jnp.ndarray,
