@@ -1,0 +1,27 @@
+# Developer entry points (see README.md).
+
+.PHONY: test test-fast bench native sanitize overfit clean
+
+test:
+	python -m pytest tests/ -x -q
+
+test-fast:
+	python -m pytest tests/unit -x -q
+
+bench:
+	python bench.py
+
+# build the C++ host decode library (also auto-built on first import)
+native:
+	python -c "from viddet_tpu import native; assert native.available(), native.build_error(); print('native lib OK')"
+
+sanitize:
+	bash tools/native_sanitize.sh
+
+overfit:
+	python tools/overfit_check.py --family ssd
+	python tools/overfit_check.py --family frcnn
+
+clean:
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null; \
+	rm -f viddet_tpu/native/libviddet_decode.so viddet_tpu/native/.build_stamp

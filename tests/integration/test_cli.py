@@ -87,3 +87,41 @@ def test_evaluate_cli_synthetic(tmp_path, caplog):
     ])
     # random weights -> mAP near 0, but the full pipeline must run
     assert any("mAP" in r.message for r in caplog.records)
+
+
+def make_vid_fixture(root):
+    import xml.etree.ElementTree as ET
+
+    snip = "snipA"
+    ann = os.path.join(root, "Annotations", "VID", "val", snip)
+    data = os.path.join(root, "Data", "VID", "val", snip)
+    os.makedirs(ann)
+    os.makedirs(data)
+    img = np.zeros((60, 80, 3), np.uint8)
+    for t in range(4):
+        xml_root = ET.Element("annotation")
+        obj = ET.SubElement(xml_root, "object")
+        ET.SubElement(obj, "name").text = "n02958343"
+        ET.SubElement(obj, "trackid").text = "0"
+        bb = ET.SubElement(obj, "bndbox")
+        for tag, v in zip(("xmin", "ymin", "xmax", "ymax"), (5 + t, 10, 35 + t, 40)):
+            ET.SubElement(bb, tag).text = str(v)
+        with open(os.path.join(ann, f"{t:06d}.xml"), "w") as f:
+            f.write(ET.tostring(xml_root).decode())
+        cv2.imwrite(os.path.join(data, f"{t:06d}.JPEG"), img)
+
+
+def test_evaluate_cli_vid_motion_iou(tmp_path, caplog):
+    """evaluate CLI end-to-end on a VID fixture: motion-IoU table comes out."""
+    from viddet_tpu.cli.evaluate import main
+
+    root = str(tmp_path / "vidroot")
+    make_vid_fixture(root)
+    main([
+        "--network", "yolo3_tiny_darknet", "--dataset", "vid",
+        "--data-root", root, "--data-shape", "64",
+        "--batch-size", "2", "--num-workers", "0",
+    ])
+    messages = " ".join(r.getMessage() for r in caplog.records)
+    for mode in ("mAP(slow)", "mAP(medium)", "mAP(fast)"):
+        assert mode in messages

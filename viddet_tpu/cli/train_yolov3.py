@@ -89,6 +89,9 @@ def parse_args(argv=None):
                    help="print per-class image/box counts before training")
     p.add_argument("--metrics-jsonl", default="",
                    help="append per-log-interval scalars to this jsonl file")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="write scalars to <save-prefix>_tb (tensorboardX), "
+                        "the reference's optional mxboard equivalent")
     p.add_argument("--precompile", action="store_true",
                    help="AOT-compile the train step for every multi-scale "
                         "bucket before the first epoch (N2 equivalent: fixed "
@@ -220,6 +223,11 @@ def main(argv=None):
     total_steps = 0
     mix_rng = np.random.default_rng(args.seed + 1)
     ckpt_dir = f"{args.save_prefix}_ckpt"
+    tb_writer = None
+    if args.tensorboard:
+        from tensorboardX import SummaryWriter
+
+        tb_writer = SummaryWriter(f"{args.save_prefix}_tb")
 
     if args.precompile and sizes and not temporal:
         # warm every multi-scale bucket's executable up front (on a copied
@@ -281,6 +289,10 @@ def main(argv=None):
                             "samples_per_sec": round(speed, 2),
                             **{k: round(v, 5) for k, v in means.items()},
                         }) + "\n")
+                if tb_writer is not None:
+                    tb_writer.add_scalar("speed/samples_per_sec", speed, total_steps)
+                    for k, v in means.items():
+                        tb_writer.add_scalar(f"loss/{k}", v, total_steps)
             if args.fault_inject and total_steps == args.fault_inject:
                 save_checkpoint(ckpt_dir, state, int(state.step))
                 raise RuntimeError(

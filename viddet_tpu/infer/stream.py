@@ -165,9 +165,10 @@ def stream_detect_video(
 
     os.makedirs(output_dir, exist_ok=True)
     stem = os.path.splitext(os.path.basename(str(path)))[0]
-    if not draw:
+    if not draw and isinstance(path, str):
         # no annotated output needed -> the C++ decode path (falls back to
-        # the cv2 thread if the native library is unavailable)
+        # the cv2 thread if the native library is unavailable; webcam
+        # indices always use the cv2 source)
         try:
             from viddet_tpu import native
 
