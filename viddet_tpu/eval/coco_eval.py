@@ -21,7 +21,7 @@ fixed-shape detections, then ``get()`` -> AP / AP50 / AP75 / AP-S/M/L.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

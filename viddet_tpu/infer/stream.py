@@ -22,7 +22,7 @@ import os
 import queue
 import threading
 import time
-from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+from typing import Callable, Iterator, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

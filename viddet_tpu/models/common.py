@@ -9,7 +9,7 @@ TPU-first choices:
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+
 
 import flax.linen as nn
 import jax.numpy as jnp

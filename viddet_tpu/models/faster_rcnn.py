@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional
 
 import flax.linen as nn
 import jax
@@ -33,7 +33,7 @@ import numpy as np
 from viddet_tpu.core.precision import Policy, DEFAULT_POLICY
 from viddet_tpu.models.resnet import ResNet50
 from viddet_tpu.ops.boxes import box_iou, clip_boxes
-from viddet_tpu.ops.nms import _compact_and_pad, _class_offset, nms_keep_mask
+from viddet_tpu.ops.nms import nms_keep_mask
 from viddet_tpu.ops.roi_align import multilevel_roi_align_packed
 
 FPN_STRIDES = (4, 8, 16, 32, 64)  # P2..P6

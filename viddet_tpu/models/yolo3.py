@@ -25,7 +25,7 @@ same ordering.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Tuple
 
 import flax.linen as nn
 import jax

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Sequence, Tuple
 
-from viddet_tpu.core.precision import Policy, DEFAULT_POLICY
+from viddet_tpu.core.precision import DEFAULT_POLICY
 from viddet_tpu.data.names import COCO_CLASSES, VID_CLASSES, VOC_CLASSES
 from viddet_tpu.models.yolo3 import YOLOv3
 

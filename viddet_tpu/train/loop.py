@@ -24,7 +24,7 @@ compile cost, same regularization — SURVEY.md §8 hard part 3).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ rates transfer.
 
 from __future__ import annotations
 
-import functools
+
 from typing import Dict, Tuple
 
 import jax

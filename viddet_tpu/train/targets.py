@@ -20,7 +20,7 @@ with -1 in batchify — SURVEY.md §2 L4→L2).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

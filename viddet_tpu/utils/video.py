@@ -9,7 +9,7 @@ offline frames-to-jpg / annotated-output workflows.
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import cv2
 import numpy as np
