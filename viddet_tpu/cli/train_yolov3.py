@@ -106,7 +106,8 @@ def mixup_batch(images, boxes, ids, rng):
     perm = rng.permutation(b)
     lam = rng.beta(1.5, 1.5, size=(b,)).astype(np.float32)
     lam = np.maximum(lam, 1.0 - lam)  # keep the primary image dominant
-    mixed = images * lam[:, None, None, None] + images[perm] * (1 - lam)[:, None, None, None]
+    lam_b = lam.reshape((b,) + (1,) * (images.ndim - 1))  # images or clips
+    mixed = images * lam_b + images[perm] * (1 - lam_b)
     boxes2 = np.concatenate([boxes, boxes[perm]], axis=1)
     ids2 = np.concatenate([ids, ids[perm]], axis=1)
     w = np.concatenate(
