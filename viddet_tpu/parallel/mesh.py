@@ -29,6 +29,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host initialization (the reference's `dist_sync` KVStore role).
+
+    On TPU pods the arguments are auto-detected from the environment; call
+    this once at program start on every host, then ``make_mesh()`` returns
+    the global mesh spanning all hosts (ICI within a slice, DCN across
+    slices) and per-host batch shards flow through ``put_batch`` unchanged.
+    No-op when already initialized or single-process.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process environment
+
+
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """1-D data-parallel mesh over all (or the given) devices.
 
