@@ -27,9 +27,56 @@ BASELINE_TARGET_FPS = 2000.0  # BASELINE.json north star, v5e
 BATCH = 128
 WARMUP = 3
 ITERS = 20
+INIT_RETRIES = 3
+INIT_BACKOFF_S = 30.0
+INIT_TIMEOUT_S = 120.0
+
+
+def _init_backend_with_retry():
+    """First device touch, guarded: the axon tunnel is occasionally flaky at
+    startup (round-1 failures: rc=1 init error AND rc=124 init hang).
+    Errors are retried with backoff; a HANG is detected by a watchdog thread
+    and turned into a fast structured failure — backend init is a latched
+    singleton, so an in-process retry after a hang is pointless."""
+    import threading
+
+    last = None
+    for attempt in range(INIT_RETRIES):
+        result = {}
+
+        def probe():
+            try:
+                result["devices"] = jax.devices()
+            except Exception as exc:
+                result["error"] = exc
+
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(INIT_TIMEOUT_S)
+        if "devices" in result:
+            return result["devices"]
+        if t.is_alive():
+            # Hung init: print the error line here and hard-exit — jax atexit
+            # hooks could themselves block on the wedged backend.
+            print(
+                json.dumps(
+                    {
+                        "metric": "frames_per_sec_per_chip_yolov3_416_decode_to_boxes",
+                        "error": f"backend init hung >{INIT_TIMEOUT_S:.0f}s "
+                        "(TPU tunnel unreachable)",
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(1)
+        last = result.get("error")
+        if attempt + 1 < INIT_RETRIES:
+            time.sleep(INIT_BACKOFF_S)
+    raise last
 
 
 def main():
+    devices = _init_backend_with_retry()
     from viddet_tpu.models import get_model
     from viddet_tpu.models.yolo3 import forward_and_postprocess
 
@@ -76,11 +123,22 @@ def main():
                 "vs_baseline": round(fps / BASELINE_TARGET_FPS, 4),
                 "batch": BATCH,
                 "batch_latency_ms": round(p50_batch_latency_ms, 2),
-                "device": str(jax.devices()[0]),
+                "device": str(devices[0]),
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # still ONE parseable JSON line, never a traceback
+        print(
+            json.dumps(
+                {
+                    "metric": "frames_per_sec_per_chip_yolov3_416_decode_to_boxes",
+                    "error": f"{type(exc).__name__}: {exc}"[:500],
+                }
+            )
+        )
+        raise SystemExit(1)

@@ -46,6 +46,67 @@ def test_train_loader_deterministic_per_seed():
     assert any(not np.array_equal(x, y) for x, y in zip(a, c))
 
 
+def test_worker_exception_propagates():
+    """A corrupt sample must raise in the consumer, not hang the loop."""
+    import pytest
+
+    class _BrokenDataset(SyntheticDetection):
+        def __getitem__(self, idx):
+            if idx == 5:
+                raise OSError("corrupt image")
+            return super().__getitem__(idx)
+
+    ds = _BrokenDataset(num_images=10, size=64, num_classes=2)
+    loader = DetectionLoader(
+        ds, ValTransform(size=(32, 32)), batch_size=4, train=False, num_workers=3
+    )
+    with pytest.raises(RuntimeError, match="loader worker failed"):
+        for _ in loader:
+            pass
+
+
+def test_early_close_stops_workers():
+    """Breaking out of the loop must not leave workers blocked forever."""
+    import threading
+
+    ds = SyntheticDetection(num_images=64, size=64, num_classes=2)
+    loader = DetectionLoader(
+        ds, ValTransform(size=(32, 32)), batch_size=2, train=False, num_workers=4
+    )
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()
+    # stop event lets every worker exit its put loop promptly
+    import time
+
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_dropped_boxes_counted():
+    """150-object label vs max_boxes=100: overflow is counted, not silent."""
+
+    class _CrowdedDataset(SyntheticDetection):
+        def __getitem__(self, idx):
+            image, _ = super().__getitem__(idx)
+            label = np.tile(
+                np.array([[1, 1, 9, 9, 0, 0]], np.float32), (150, 1)
+            )
+            return image, label
+
+    ds = _CrowdedDataset(num_images=4, size=64, num_classes=2)
+    loader = DetectionLoader(
+        ds, TrainTransform(size=(32, 32)), batch_size=2, train=True,
+        num_workers=0, max_boxes=100, seed=0,
+    )
+    for _, boxes, *_ in loader:
+        assert boxes.shape[1] == 100
+    assert loader.dropped_boxes == 4 * 50
+
+
 def test_multiscale_buckets_consistent_within_batch():
     ds = SyntheticDetection(num_images=24, size=64, num_classes=2)
     sizes = [(32, 32), (48, 48), (64, 64)]

@@ -46,6 +46,36 @@ def test_pack_and_read_roundtrip(tmp_path):
         np.testing.assert_array_equal(img, ref)
 
 
+def test_concurrent_reads_thread_safe(tmp_path):
+    """Interleaved reads from many threads must never corrupt records
+    (the loader's default is 4 worker threads over one shared dataset)."""
+    import threading
+
+    src = _TinyDiskDataset(str(tmp_path))
+    shards = pack_dataset(src, str(tmp_path / "packed"), shard_size=2)
+    ds = PackedDetection(shards, classes=src.classes, wn_classes=src.wn_classes)
+    expected = [ds[i] for i in range(3)]
+
+    errors = []
+
+    def reader():
+        try:
+            for _ in range(50):
+                for i in range(3):
+                    img, label = ds[i]
+                    np.testing.assert_array_equal(label, expected[i][1])
+                    np.testing.assert_array_equal(img, expected[i][0])
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=reader) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:1]
+
+
 def test_shard_index(tmp_path):
     path = str(tmp_path / "s.vdtp")
     n = write_shard(

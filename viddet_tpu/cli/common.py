@@ -32,7 +32,19 @@ def parse_with_config(parser: argparse.ArgumentParser, argv=None):
         "--dump-config", nargs="?", const="-", default=None, metavar="FILE",
         help="write resolved config as JSON (default stdout) and exit",
     )
+    parser.add_argument(
+        "--platform", default="auto", choices=("auto", "cpu", "tpu"),
+        help="pin the jax platform; 'cpu' works even where the environment "
+             "forces a TPU plugin (unreachable chip would otherwise hang)",
+    )
     args = parser.parse_args(argv)
+    if args.platform != "auto":
+        # Must land before the first backend touch; the env alone is not
+        # enough — the deployment sitecustomize re-forces JAX_PLATFORMS.
+        jax.config.update("jax_platforms", args.platform)
+        from viddet_tpu.core.platform import set_platform
+
+        set_platform(args.platform)
     if args.config:
         with open(args.config) as f:
             overrides = json.load(f)

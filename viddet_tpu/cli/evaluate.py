@@ -64,7 +64,10 @@ def evaluate(module, variables, dataset, metric, args, logger):
     )
     t0 = time.time()
     seen = 0
-    for images, gt_boxes, gt_ids, difficult, affines, idxs in loader:
+    # explicit iterator so an early --max-images break closes the generator
+    # deterministically (its finally block stops the prefetch workers)
+    batches = iter(loader)
+    for images, gt_boxes, gt_ids, difficult, affines, idxs in batches:
         batch = images
         if batch.shape[0] < args.batch_size:  # pad last batch: one XLA shape
             pad = args.batch_size - batch.shape[0]
@@ -86,6 +89,7 @@ def evaluate(module, variables, dataset, metric, args, logger):
             metric.update(boxes_orig, ids, scores, gt_orig, gt_ids[:n], difficult[:n] if difficult is not None else None)
         seen += n
         if args.max_images and seen >= args.max_images:
+            batches.close()
             break
     dt = time.time() - t0
     logger.info("evaluated %d images in %.1fs (%.1f img/s)", seen, dt, seen / dt)

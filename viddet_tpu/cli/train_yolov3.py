@@ -63,6 +63,9 @@ def parse_args(argv=None):
                    help="disable mixup for the final N epochs")
     p.add_argument("--label-smooth", action="store_true")
     p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--max-gt-boxes", type=int, default=100,
+                   help="static GT pad per image; overflow boxes are dropped "
+                        "and counted in the per-epoch log")
     p.add_argument("--temporal-k", type=int, default=1,
                    help="k-frame clip window (VID temporal models; 1 = single frame)")
     p.add_argument("--temporal-stride", type=int, default=1)
@@ -172,6 +175,7 @@ def main(argv=None):
         sizes=sizes,
         num_workers=args.num_workers,
         seed=args.seed,
+        max_boxes=args.max_gt_boxes,
     )
     steps_per_epoch = max(len(train_loader), 1)
 
@@ -238,11 +242,22 @@ def main(argv=None):
             dummy_state = jax.tree_util.tree_map(jnp.copy, state)
             per = max(args.batch_size, 1)
             tic = time.time()
+            # Dummies must match the real loop exactly — the jit cache keys
+            # on shape, sharding AND call arity (an explicit trailing None is
+            # a different entry from a defaulted one), so: GT pad width =
+            # loader's static pad, batch through put_batch, gt_weights=None
+            # passed positionally like the hot loop does
             train_step(
                 dummy_state,
-                jnp.zeros((per, sh, sw, 3), jnp.float32),
-                -jnp.ones((per, 1, 4), jnp.float32),
-                -jnp.ones((per, 1), jnp.int32),
+                *put_batch(
+                    (
+                        jnp.zeros((per, sh, sw, 3), jnp.float32),
+                        -jnp.ones((per, train_loader.max_boxes, 4), jnp.float32),
+                        -jnp.ones((per, train_loader.max_boxes), jnp.int32),
+                    ),
+                    mesh,
+                ),
+                None,
             )
             logger.info("  %dx%d compiled in %.1fs", sh, sw, time.time() - tic)
 
@@ -305,6 +320,11 @@ def main(argv=None):
                 save_checkpoint(ckpt_dir, state, int(state.step))
                 return
         logger.info("[Epoch %d] done in %.1fs", epoch, time.time() - tic)
+        if train_loader.dropped_boxes:
+            logger.warning(
+                "[Epoch %d] %d GT boxes dropped by --max-gt-boxes=%d pad",
+                epoch, train_loader.dropped_boxes, args.max_gt_boxes,
+            )
 
         if args.val_interval and (epoch + 1) % args.val_interval == 0:
             metric = validate(

@@ -30,7 +30,12 @@ MAX_GT_BOXES = 100  # static padded GT count; VOC/COCO images rarely exceed it
 
 
 def pad_label(label: np.ndarray, max_boxes: int = MAX_GT_BOXES) -> np.ndarray:
-    """(M, 6) -> (max_boxes, 6), -1 padded; overflow boxes dropped."""
+    """(M, 6) -> (max_boxes, 6), -1 padded; overflow boxes dropped.
+
+    Overflow is NOT silent at the loader level: DetectionLoader counts dropped
+    boxes per epoch (``dropped_boxes``) and the train CLIs log the total, with
+    ``--max-gt-boxes`` to raise the static pad for crowded datasets.
+    """
     out = -np.ones((max_boxes, label.shape[1] if label.size else 6), np.float32)
     m = min(len(label), max_boxes)
     if m:
@@ -75,6 +80,10 @@ class DetectionLoader:
         self.seed = seed
         self.max_boxes = max_boxes
         self._epoch = 0
+        # GT boxes dropped by the static pad this epoch (reset per __iter__);
+        # incremented under _count_lock from worker threads.
+        self.dropped_boxes = 0
+        self._count_lock = threading.Lock()
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -97,11 +106,15 @@ class DetectionLoader:
             affine = None
         else:
             image, label, affine = self.transform(image, label)
+        if len(label) > self.max_boxes:
+            with self._count_lock:
+                self.dropped_boxes += len(label) - self.max_boxes
         return image, pad_label(label, self.max_boxes), affine, idx
 
     def __iter__(self) -> Iterator:
         epoch = self._epoch
         self._epoch += 1
+        self.dropped_boxes = 0
         n = len(self.dataset)
         order = np.arange(n)
         master = np.random.default_rng((self.seed, epoch))
@@ -141,28 +154,50 @@ class DetectionLoader:
             return
 
         # Threaded prefetch: workers fill per-batch slots; ordered delivery.
+        # The bounded token queue caps how far ahead workers run (and hence
+        # how many assembled batches sit in `pending`).
         out_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 2)
         task_q: "queue.Queue" = queue.Queue()
         for b in range(num_batches):
             task_q.put(b)
 
         results_lock = threading.Lock()
-        pending = {}
+        pending = {}  # b -> (batch | None, exc | None)
+        stop = threading.Event()
 
         def worker():
-            while True:
+            while not stop.is_set():
                 try:
                     b = task_q.get_nowait()
                 except queue.Empty:
                     return
-                chunk = order[b * self.batch_size : (b + 1) * self.batch_size]
-                rngs = [np.random.default_rng((self.seed, epoch, int(i))) for i in chunk]
-                batch = assemble(
-                    [self._sample(int(i), r, batch_sizes[b]) for i, r in zip(chunk, rngs)]
-                )
+                try:
+                    chunk = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    rngs = [
+                        np.random.default_rng((self.seed, epoch, int(i))) for i in chunk
+                    ]
+                    batch = assemble(
+                        [
+                            self._sample(int(i), r, batch_sizes[b])
+                            for i, r in zip(chunk, rngs)
+                        ]
+                    )
+                    item = (batch, None)
+                except BaseException as exc:
+                    # Propagate instead of dying silently: a corrupt image or
+                    # missing file must surface in the consumer, not hang it.
+                    item = (None, exc)
                 with results_lock:
-                    pending[b] = batch
-                out_q.put(b)
+                    pending[b] = item
+                # Bounded put with a stop check so an abandoned iterator
+                # (e.g. eval --max-images breaking out early) never leaves a
+                # worker blocked forever on a full queue.
+                while not stop.is_set():
+                    try:
+                        out_q.put(b, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         threads = [
             threading.Thread(target=worker, daemon=True)
@@ -178,12 +213,18 @@ class DetectionLoader:
                 out_q.get()
                 while True:
                     with results_lock:
-                        batch = pending.pop(next_batch, None)
-                    if batch is None:
+                        item = pending.pop(next_batch, None)
+                    if item is None:
                         break
+                    batch, exc = item
+                    if exc is not None:
+                        raise RuntimeError(
+                            f"loader worker failed on batch {next_batch}"
+                        ) from exc
                     yield batch
                     delivered += 1
                     next_batch += 1
         finally:
+            stop.set()
             for t in threads:
-                t.join(timeout=0.1)
+                t.join(timeout=2.0)

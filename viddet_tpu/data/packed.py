@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import struct
+import threading
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -86,33 +87,45 @@ class PackedDetection(DetectionDataset):
                  wn_classes: Optional[Sequence[str]] = None):
         self.classes = tuple(classes)
         self.wn_classes = tuple(wn_classes or [""] * len(classes))
-        self._entries: List[Tuple[str, int]] = []  # (shard, offset)
+        self._entries: List[Tuple[str, int, int]] = []  # (shard, offset, size)
         for shard in shards:
             with open(shard + ".idx") as idx:
                 for line in idx:
-                    offset, _size = line.split()
-                    self._entries.append((shard, int(offset)))
-        self._files = {}
+                    offset, size = line.split()
+                    self._entries.append((shard, int(offset), int(size)))
+        self._fds = {}
+        self._fds_lock = threading.Lock()
 
-    def _file(self, shard: str):
-        if shard not in self._files:
-            f = open(shard, "rb")
-            if f.read(len(MAGIC)) != MAGIC:
-                raise ValueError(f"bad shard magic: {shard}")
-            self._files[shard] = f
-        return self._files[shard]
+    def _fd(self, shard: str) -> int:
+        # Raw fd + os.pread: positionless reads are safe from the loader's
+        # concurrent worker threads (a shared seek+read cursor is not).
+        with self._fds_lock:
+            fd = self._fds.get(shard)
+            if fd is None:
+                fd = os.open(shard, os.O_RDONLY)
+                if os.pread(fd, len(MAGIC), 0) != MAGIC:
+                    os.close(fd)
+                    raise ValueError(f"bad shard magic: {shard}")
+                self._fds[shard] = fd
+        return fd
 
     def __len__(self):
         return len(self._entries)
 
+    def __del__(self):
+        for fd in getattr(self, "_fds", {}).values():
+            try:
+                os.close(fd)
+            except OSError:
+                pass
+
     def _read(self, idx: int):
-        shard, offset = self._entries[idx]
-        f = self._file(shard)
-        f.seek(offset)
-        (meta_len,) = struct.unpack("<I", f.read(4))
-        meta = json.loads(f.read(meta_len))
-        (payload_len,) = struct.unpack("<I", f.read(4))
-        payload = f.read(payload_len)
+        shard, offset, size = self._entries[idx]
+        buf = os.pread(self._fd(shard), size, offset)
+        (meta_len,) = struct.unpack_from("<I", buf, 0)
+        meta = json.loads(buf[4 : 4 + meta_len])
+        (payload_len,) = struct.unpack_from("<I", buf, 4 + meta_len)
+        payload = buf[8 + meta_len : 8 + meta_len + payload_len]
         label = np.asarray(meta["label"], np.float32)
         if label.size == 0:
             label = np.zeros((0, 6), np.float32)

@@ -60,7 +60,9 @@ class FRCNNConfig:
     def resolved_backend(self) -> str:
         if self.nms_backend != "auto":
             return self.nms_backend
-        return "xla" if jax.devices()[0].platform == "cpu" else "pallas"
+        from viddet_tpu.core.platform import default_nms_backend
+
+        return default_nms_backend()
 
 
 # ---------------------------------------------------------------------------
@@ -341,9 +343,13 @@ def assign_rpn_targets(anchors, gt_boxes, gt_ids, cfg: FRCNNConfig, rng):
         best_iou = jnp.max(iou, axis=1)
         best_gt = jnp.argmax(iou, axis=1)
         pos = best_iou >= cfg.rpn_pos_iou
-        # force best anchor per gt
+        # force best anchor per gt; invalid GTs routed out-of-range + dropped
+        # so they can't overwrite a valid GT's forced match at anchor 0
         best_anchor = jnp.argmax(iou, axis=0)  # (M,)
-        pos = pos | jnp.zeros(anchors.shape[0], bool).at[best_anchor].set(valid)
+        safe_anchor = jnp.where(valid, best_anchor, anchors.shape[0])
+        pos = pos | jnp.zeros(anchors.shape[0], bool).at[safe_anchor].set(
+            True, mode="drop"
+        )
         neg = (best_iou < cfg.rpn_neg_iou) & ~pos
 
         rng_p, rng_n = jax.random.split(rng_i)
@@ -510,7 +516,9 @@ def frcnn_postprocess(
 def frcnn_forward_and_postprocess(module, variables, images, backend: str = "auto", **nms_kw):
     out = module.apply(variables, images, train=False)
     if backend == "auto":
-        backend = "xla" if jax.devices()[0].platform == "cpu" else "pallas"
+        from viddet_tpu.core.platform import default_nms_backend
+
+        backend = default_nms_backend()
     return frcnn_postprocess(
         out["proposals"],
         out["roi_cls_logits"],

@@ -203,11 +203,21 @@ def assign_ssd_targets(
         best_iou = jnp.max(iou, axis=1)
         matched = best_iou >= match_thresh
 
-        # force-match: for each valid GT, its argmax anchor
+        # force-match: for each valid GT, its argmax anchor.  Invalid
+        # (padded) GTs all argmax to anchor 0; with duplicate scatter indices
+        # the winner is undefined, so route them to an out-of-range slot and
+        # drop — only valid GTs ever scatter.
         best_anchor = jnp.argmax(iou, axis=0)  # (M,)
-        forced = jnp.zeros(anchors.shape[0], bool).at[best_anchor].set(valid)
-        forced_gt = jnp.zeros(anchors.shape[0], jnp.int32).at[best_anchor].set(
-            jnp.arange(gt_b.shape[0], dtype=jnp.int32)
+        safe_anchor = jnp.where(valid, best_anchor, anchors.shape[0])
+        forced = (
+            jnp.zeros(anchors.shape[0], bool)
+            .at[safe_anchor]
+            .set(True, mode="drop")
+        )
+        forced_gt = (
+            jnp.zeros(anchors.shape[0], jnp.int32)
+            .at[safe_anchor]
+            .set(jnp.arange(gt_b.shape[0], dtype=jnp.int32), mode="drop")
         )
         assigned_gt = jnp.where(forced, forced_gt, best_gt)
         matched = matched | forced
@@ -273,7 +283,9 @@ class SSDNMSConfig:
     def resolved_backend(self) -> str:
         if self.backend != "auto":
             return self.backend
-        return "xla" if jax.devices()[0].platform == "cpu" else "pallas"
+        from viddet_tpu.core.platform import default_nms_backend
+
+        return default_nms_backend()
 
 
 def ssd_forward_and_postprocess(module, variables, images, nms: SSDNMSConfig = SSDNMSConfig()):

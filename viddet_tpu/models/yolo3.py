@@ -251,8 +251,9 @@ class NMSConfig:
     def resolved_backend(self) -> str:
         if self.backend != "auto":
             return self.backend
-        platform = jax.devices()[0].platform
-        return "xla" if platform == "cpu" else "pallas"
+        from viddet_tpu.core.platform import default_nms_backend
+
+        return default_nms_backend()
 
 
 def postprocess(
