@@ -5,7 +5,11 @@
 test:
 	python -m pytest tests/ -x -q
 
+# everything except @pytest.mark.slow (overfit-to-mAP gates etc.) — ~10 min
 test-fast:
+	python -m pytest tests/ -x -q -m "not slow"
+
+test-unit:
 	python -m pytest tests/unit -x -q
 
 bench:

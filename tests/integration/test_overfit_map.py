@@ -26,6 +26,10 @@ SIZE = 64
 NUM_CLASSES = 3
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_overfit_reaches_high_map():
     ds = SyntheticDetection(num_images=8, size=SIZE, num_classes=NUM_CLASSES, seed=3)
     module = YOLOv3(

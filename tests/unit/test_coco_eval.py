@@ -120,6 +120,25 @@ def test_maxdet_1_limits_recall():
     assert abs(s["AR_10"] - 1.0) < 1e-9
 
 
+def test_segmentation_area_flips_bin():
+    """A thin diagonal object: bbox area 50x50=2500 (medium) but
+    segmentation area 400 (small).  The official protocol bins by the
+    annotation's own area — supplying it must flip the S/M assignment."""
+    gt = dict(gt_boxes=[big(0, 0, 50, 50)], gt_classes=[0], gt_crowd=[0])
+    dt = dict(dt_boxes=[big(0, 0, 50, 50)], dt_classes=[0], dt_scores=[0.9])
+
+    bbox_area = COCOEvalBBox(num_classes=1)
+    bbox_area.add_image(1, **gt, **dt)  # fallback: bbox area 2500 -> medium
+    s = bbox_area.summarize()
+    assert s["AP_medium"] == 1.0 and s["AP_small"] == -1.0
+
+    seg_area = COCOEvalBBox(num_classes=1)
+    seg_area.add_image(1, **gt, **dt, gt_areas=[400.0])  # seg area -> small
+    s = seg_area.summarize()
+    assert s["AP_small"] == 1.0 and s["AP_medium"] == -1.0
+    assert s["AP"] == 1.0  # "all" bin unaffected
+
+
 def test_multi_image_accumulation():
     ev = COCOEvalBBox(num_classes=1)
     for img in (1, 2):

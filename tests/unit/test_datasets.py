@@ -78,9 +78,11 @@ def coco_root(tmp_path):
             {"id": 9, "file_name": "b.jpg", "width": 80, "height": 60},
         ],
         "annotations": [
-            {"image_id": 7, "category_id": 3, "bbox": [10, 10, 20, 15], "iscrowd": 0},
+            {"image_id": 7, "category_id": 3, "bbox": [10, 10, 20, 15],
+             "iscrowd": 0, "area": 123.5},
             {"image_id": 7, "category_id": 18, "bbox": [0, 0, 30, 30], "iscrowd": 1},
-            {"image_id": 9, "category_id": 3, "bbox": [5, 5, 10, 10], "iscrowd": 0},
+            {"image_id": 9, "category_id": 3, "bbox": [5, 5, 10, 10],
+             "iscrowd": 0, "area": 64.0},
         ],
         "categories": [
             {"id": 3, "name": "car"},
@@ -106,6 +108,10 @@ def test_coco_parsing(coco_root):
     assert label[1, 4] == 1 and label[1, 5] == 1  # crowd flag
     assert ds.image_id(0) == 7
     assert ds.contiguous_to_category_id(0) == 3
+    # segmentation-area sidecar: explicit area kept, bbox-area fallback for
+    # the crowd ann that lacks one (30*30)
+    np.testing.assert_allclose(ds.gt_areas(0), [123.5, 900.0])
+    np.testing.assert_allclose(ds.gt_areas(1), [64.0])
 
 
 def vid_xml(objects):

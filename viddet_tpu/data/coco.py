@@ -43,9 +43,10 @@ class COCODetection(DetectionDataset):
         for ann in data["annotations"]:
             anns_by_image.setdefault(ann["image_id"], []).append(ann)
 
-        self._items: List[Tuple[int, str, np.ndarray]] = []
+        self._items: List[Tuple[int, str, np.ndarray, np.ndarray]] = []
         for img_id, im in sorted(images.items()):
             rows = []
+            areas = []
             for ann in anns_by_image.get(img_id, []):
                 if ann.get("ignore", 0):
                     continue
@@ -65,10 +66,15 @@ class COCODetection(DetectionDataset):
                 rows.append(
                     [x1, y1, x2, y2, self._cat_to_contig[ann["category_id"]], crowd]
                 )
+                # official S/M/L bins use the annotation's (segmentation)
+                # area, which differs from bbox area on real COCO; keep it
+                # as an eval sidecar (bbox-area fallback when absent)
+                areas.append(float(ann.get("area", w * h)))
             if not rows and skip_empty:
                 continue
             label = np.asarray(rows, np.float32) if rows else np.zeros((0, 6), np.float32)
-            self._items.append((img_id, im["file_name"], label))
+            area_arr = np.asarray(areas, np.float64) if areas else np.zeros((0,), np.float64)
+            self._items.append((img_id, im["file_name"], label, area_arr))
 
     def __len__(self):
         return len(self._items)
@@ -84,6 +90,11 @@ class COCODetection(DetectionDataset):
 
     def label(self, idx: int) -> np.ndarray:
         return self._items[idx][2]
+
+    def gt_areas(self, idx: int) -> np.ndarray:
+        """Per-annotation COCO ``area`` (segmentation area), aligned with
+        ``label(idx)`` rows — the official S/M/L eval bins use this."""
+        return self._items[idx][3]
 
     def __getitem__(self, idx: int):
         return imread_rgb(self.image_path(idx)), self.label(idx)

@@ -8,11 +8,12 @@ max detections 1/10/100, crowd ground truth as ignore regions (IoU against a
 crowd box is intersection / detection-area), detections matched greedily in
 score order preferring non-ignored GT.
 
-Deviation from pycocotools noted for the record: GT "area" here is the bbox
-area (the official tool uses segmentation area).  For bbox-style datasets
-this is the available definition; results on box-only fixtures match the
-protocol exactly (tested against hand-scored cases in
-tests/unit/test_coco_eval.py).
+GT "area" for the S/M/L bins follows the official definition: the
+annotation's own ``area`` field (segmentation area) when the dataset supplies
+it (``COCODetection.gt_areas``), with a bbox-area fallback for box-only
+datasets.  Detection areas are bbox areas, as in pycocotools.  Results on
+box-only fixtures match the protocol exactly (hand-scored cases in
+tests/unit/test_coco_eval.py, incl. a seg-area≠bbox-area bin-flip fixture).
 
 ``COCODetectionMetric`` mirrors the reference's metric surface
 (``metrics/mscoco_metrics.py`` — SURVEY.md §3.1 item 13): accumulate padded
@@ -69,11 +70,18 @@ class COCOEvalBBox:
         self.gts: Dict = {}
         self.dts: Dict = {}
 
-    def add_image(self, image_id, gt_boxes, gt_classes, gt_crowd, dt_boxes, dt_classes, dt_scores):
+    def add_image(self, image_id, gt_boxes, gt_classes, gt_crowd, dt_boxes,
+                  dt_classes, dt_scores, gt_areas=None):
+        boxes = np.asarray(gt_boxes, np.float64).reshape(-1, 4)
+        if gt_areas is None:
+            # bbox-area fallback for box-only datasets; real COCO supplies
+            # the annotation's segmentation area (official S/M/L definition)
+            gt_areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
         self.gts[image_id] = (
-            np.asarray(gt_boxes, np.float64).reshape(-1, 4),
+            boxes,
             np.asarray(gt_classes, np.int64).reshape(-1),
             np.asarray(gt_crowd, bool).reshape(-1),
+            np.asarray(gt_areas, np.float64).reshape(-1),
         )
         self.dts[image_id] = (
             np.asarray(dt_boxes, np.float64).reshape(-1, 4),
@@ -83,16 +91,15 @@ class COCOEvalBBox:
 
     def _evaluate_img(self, img_id, cat, area_rng, max_det):
         """Returns (dt_scores, dt_matched_ignore, dt_ignored, npig) arrays."""
-        gt_boxes, gt_cls, gt_crowd = self.gts[img_id]
+        gt_boxes, gt_cls, gt_crowd, gt_areas = self.gts[img_id]
         dt_boxes, dt_cls, dt_scores = self.dts[img_id]
         gsel = gt_cls == cat
         dsel = dt_cls == cat
-        gt_b, crowd = gt_boxes[gsel], gt_crowd[gsel]
+        gt_b, crowd, g_area = gt_boxes[gsel], gt_crowd[gsel], gt_areas[gsel]
         dt_b, scores = dt_boxes[dsel], dt_scores[dsel]
         if len(gt_b) == 0 and len(dt_b) == 0:
             return None
 
-        g_area = (gt_b[:, 2] - gt_b[:, 0]) * (gt_b[:, 3] - gt_b[:, 1])
         g_ignore = crowd | (g_area < area_rng[0]) | (g_area > area_rng[1])
         # non-ignored GT first (stable)
         g_order = np.argsort(g_ignore, kind="stable")
@@ -240,6 +247,10 @@ class COCODetectionMetric:
             pi = np.asarray(pred_ids[b]).reshape(-1)
             ps = np.asarray(pred_scores[b]).reshape(-1)
             keep = (pi >= 0) & (ps >= 0)
+            areas = (
+                self._dataset.gt_areas(int(idx))
+                if hasattr(self._dataset, "gt_areas") else None
+            )
             self._eval.add_image(
                 self._dataset.image_id(int(idx)),
                 label[:, :4],
@@ -248,6 +259,7 @@ class COCODetectionMetric:
                 pb[keep],
                 pi[keep],
                 ps[keep],
+                gt_areas=areas,
             )
 
     def get(self) -> Tuple[List[str], List[float]]:
