@@ -150,3 +150,31 @@ def test_frcnn_train_step_loss_decreases():
         history.append(float(losses["total"]))
         assert np.isfinite(history[-1])
     assert min(history[-3:]) < max(history[:3]), history
+
+
+def test_frcnn_roi_backend_pallas_matches_xla():
+    """Full model forward with the Pallas ROIAlign (interpret mode) must
+    match the packed-gather backend — same weights, same input."""
+    x = jnp.asarray(
+        np.random.default_rng(5).uniform(0, 1, (1, 128, 128, 3)), jnp.float32
+    )
+    outs = {}
+    for roi_backend in ("xla", "pallas_interpret"):
+        import dataclasses
+
+        cfg = dataclasses.replace(TINY_CFG, roi_backend=roi_backend)
+        module = F.FasterRCNN(num_classes=3, config=cfg, policy=FLOAT32_POLICY)
+        variables = module.init(
+            {"params": jax.random.key(0), "sampling": jax.random.key(1)},
+            x, train=False,
+        )
+        outs[roi_backend] = module.apply(variables, x, train=False)
+    a, b = outs["xla"], outs["pallas_interpret"]
+    np.testing.assert_allclose(
+        np.asarray(a["roi_cls_logits"]), np.asarray(b["roi_cls_logits"]),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["roi_box_deltas"]), np.asarray(b["roi_box_deltas"]),
+        rtol=1e-4, atol=1e-4,
+    )

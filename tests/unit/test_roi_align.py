@@ -74,3 +74,85 @@ def test_packed_matches_masked_multilevel():
     want = multilevel_roi_align(pyramid, rois, strides, k_min=2)
     got = multilevel_roi_align_packed(pyramid, rois, strides, k_min=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel (interpret mode on CPU) vs the jnp packed oracle
+# ---------------------------------------------------------------------------
+
+
+def _random_pyramid_and_rois(seed, b=2, c=8, image=128, r=24, max_aspect=2.5):
+    rng = np.random.default_rng(seed)
+    shapes = [(image // s, image // s) for s in (4, 8, 16, 32)]
+    pyramid = [
+        jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+        for h, w in shapes
+    ]
+    # sizes spanning every FPN level, aspects within the kernel's exact
+    # domain (module docstring), positions anywhere in the image
+    size = rng.uniform(8, image * 0.9, size=(b, r))
+    aspect = rng.uniform(1.0 / max_aspect, max_aspect, size=(b, r))
+    w_box = size * np.sqrt(aspect)
+    h_box = size / np.sqrt(aspect)
+    cx = rng.uniform(0, image, size=(b, r))
+    cy = rng.uniform(0, image, size=(b, r))
+    rois = np.stack(
+        [cx - w_box / 2, cy - h_box / 2, cx + w_box / 2, cy + h_box / 2], axis=-1
+    )
+    return pyramid, jnp.asarray(np.clip(rois, 0, image).astype(np.float32))
+
+
+def test_pallas_matches_packed_oracle():
+    import jax
+
+    from viddet_tpu.ops.roi_align import multilevel_roi_align_packed
+    from viddet_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas
+
+    pyramid, rois = _random_pyramid_and_rois(0)
+    got = multilevel_roi_align_pallas(
+        pyramid, rois, strides=(4, 8, 16, 32), interpret=True
+    )
+    want = jax.vmap(
+        lambda maps, boxes: multilevel_roi_align_packed(
+            maps, boxes, strides=(4, 8, 16, 32)
+        ),
+        in_axes=(0, 0),
+    )(pyramid, rois)
+    assert got.shape == want.shape == (2, 24, 7, 7, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_pallas_out_of_image_rois_match():
+    """Rois poking outside the image: invalid samples contribute zero in
+    both implementations."""
+    import jax
+
+    from viddet_tpu.ops.roi_align import multilevel_roi_align_packed
+    from viddet_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas
+
+    pyramid, _ = _random_pyramid_and_rois(1, b=1, r=4)
+    rois = jnp.asarray(
+        [[[-20.0, -10.0, 40.0, 30.0], [100.0, 100.0, 160.0, 150.0],
+          [0.0, 0.0, 127.0, 127.0], [60.0, -5.0, 90.0, 20.0]]]
+    )
+    got = multilevel_roi_align_pallas(
+        pyramid, rois, strides=(4, 8, 16, 32), interpret=True
+    )
+    want = jax.vmap(
+        lambda maps, boxes: multilevel_roi_align_packed(
+            maps, boxes, strides=(4, 8, 16, 32)
+        ),
+        in_axes=(0, 0),
+    )(pyramid, rois)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_pallas_auto_dispatch():
+    from viddet_tpu.ops.roi_align_pallas import multilevel_roi_align_auto
+
+    pyramid, rois = _random_pyramid_and_rois(2, b=1, r=4)
+    a = multilevel_roi_align_auto(pyramid, rois, strides=(4, 8, 16, 32),
+                                  backend="xla")
+    b = multilevel_roi_align_auto(pyramid, rois, strides=(4, 8, 16, 32),
+                                  backend="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

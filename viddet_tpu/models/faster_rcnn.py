@@ -34,7 +34,7 @@ from viddet_tpu.core.precision import Policy, DEFAULT_POLICY
 from viddet_tpu.models.resnet import ResNet50
 from viddet_tpu.ops.boxes import box_iou, clip_boxes
 from viddet_tpu.ops.nms import nms_keep_mask
-from viddet_tpu.ops.roi_align import multilevel_roi_align_packed
+from viddet_tpu.ops.roi_align_pallas import multilevel_roi_align_auto
 
 FPN_STRIDES = (4, 8, 16, 32, 64)  # P2..P6
 ANCHOR_SCALES = (32.0, 64.0, 128.0, 256.0, 512.0)
@@ -56,6 +56,10 @@ class FRCNNConfig:
     roi_pos_fraction: float = 0.25
     roi_pos_iou: float = 0.5
     nms_backend: str = "auto"
+    # ROIAlign backend: "xla" (packed-gather, ops/roi_align.py) or "pallas"
+    # (window-DMA MXU kernel, ops/roi_align_pallas.py).  Default stays xla
+    # until the TPU bench proves the kernel ahead (tools/frcnn_bench.py).
+    roi_backend: str = "xla"
 
     def resolved_backend(self) -> str:
         if self.nms_backend != "auto":
@@ -237,14 +241,11 @@ class FasterRCNN(nn.Module):
         )
         b, r, _ = rois.shape
         # ROIAlign per image over the P2..P5 pyramid (P6 is RPN-only);
-        # packed formulation: one gather pass per roi (ops/roi_align.py)
-        feats = jax.vmap(
-            lambda maps, boxes: multilevel_roi_align_packed(
-                maps, boxes, strides=FPN_STRIDES[:4], output_size=7, k_min=2
-            ),
-            in_axes=(0, 0),
-        )(
-            [p for p in pyramid[:4]], rois
+        # backend per config: packed single-gather (xla) or window-DMA MXU
+        # kernel (pallas)
+        feats = multilevel_roi_align_auto(
+            [p for p in pyramid[:4]], rois, strides=FPN_STRIDES[:4],
+            output_size=7, k_min=2, backend=self.config.roi_backend,
         )  # (B, R, 7, 7, C)
         x = feats.reshape(b * r, -1).astype(self.policy.compute_dtype)
         x = nn.relu(nn.Dense(1024, name="fc1", **conv_kw)(x))
