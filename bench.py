@@ -20,11 +20,25 @@ import time
 if "LIBTPU_INIT_ARGS" not in os.environ:
     os.environ["LIBTPU_INIT_ARGS"] = "--xla_tpu_scoped_vmem_limit_kib=65536"
 
+import sys
+
 import jax
 import jax.numpy as jnp
 
+# Optional: `python bench.py --platform cpu` pins the CPU backend (smoke
+# tests / chip-down debugging); the driver's plain `python bench.py` is
+# unaffected and uses the real chip.
+if "--platform" in sys.argv:
+    jax.config.update(
+        "jax_platforms", sys.argv[sys.argv.index("--platform") + 1]
+    )
+
 BASELINE_TARGET_FPS = 2000.0  # BASELINE.json north star, v5e
-BATCH = 128
+# Tunable via env for sweeps (tools/bench_sweep.py); defaults are the
+# recorded configuration.
+BATCH = int(os.environ.get("VIDDET_BENCH_BATCH", "128"))
+TOPK = int(os.environ.get("VIDDET_BENCH_TOPK", "400"))
+POST_NMS = int(os.environ.get("VIDDET_BENCH_POST_NMS", "100"))
 WARMUP = 3
 ITERS = 20
 INIT_RETRIES = 3
@@ -78,15 +92,16 @@ def _init_backend_with_retry():
 def main():
     devices = _init_backend_with_retry()
     from viddet_tpu.models import get_model
-    from viddet_tpu.models.yolo3 import forward_and_postprocess
+    from viddet_tpu.models.yolo3 import NMSConfig, forward_and_postprocess
 
     module, _ = get_model("yolo3_darknet53_coco")
     images = jnp.zeros((BATCH, 416, 416, 3), jnp.float32)
     variables = module.init(jax.random.key(0), images, train=False)
+    nms = NMSConfig(topk=TOPK, post_nms=POST_NMS)
 
     @jax.jit
     def infer(variables, images):
-        return forward_and_postprocess(module, variables, images)
+        return forward_and_postprocess(module, variables, images, nms)
 
     import numpy as np
 
@@ -122,6 +137,8 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_TARGET_FPS, 4),
                 "batch": BATCH,
+                "topk": TOPK,
+                "post_nms": POST_NMS,
                 "batch_latency_ms": round(p50_batch_latency_ms, 2),
                 "device": str(devices[0]),
             }

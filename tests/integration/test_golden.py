@@ -94,6 +94,73 @@ def test_flagship_pallas_backend_matches_xla():
     np.testing.assert_allclose(boxes_x, boxes_p, rtol=0, atol=1e-3)
 
 
+SSD_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "..", "fixtures", "golden_dets_ssd_r50_256.npz"
+)
+FRCNN_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "..", "fixtures", "golden_dets_frcnn_r50fpn_128.npz"
+)
+
+
+def compute_ssd_detections():
+    """SSD ResNet-50 @256 f32: pins anchors + softmax + dense two-stage NMS."""
+    from viddet_tpu.models.ssd import SSD, SSDNMSConfig, ssd_forward_and_postprocess
+
+    module = SSD(num_classes=4, image_size=256, policy=FLOAT32_POLICY)
+    x = jnp.asarray(
+        np.random.default_rng(55).uniform(0, 1, (1, 256, 256, 3)), jnp.float32
+    )
+    variables = module.init(jax.random.key(3), x, train=False)
+    ids, scores, boxes = ssd_forward_and_postprocess(
+        module, variables, x,
+        SSDNMSConfig(backend="xla", topk=128, post_nms=32, valid_thresh=0.001),
+    )
+    return np.asarray(ids), np.asarray(scores), np.asarray(boxes)
+
+
+def compute_frcnn_detections():
+    """FRCNN r50-FPN @128 f32 (reduced counts): pins RPN decode + proposal
+    NMS + ROIAlign + per-class decode/NMS."""
+    import dataclasses
+
+    from viddet_tpu.models import faster_rcnn as F
+
+    cfg = F.FRCNNConfig(
+        rpn_pre_nms_topk=64, rpn_nms_input=128, rpn_post_nms_train=64,
+        rpn_post_nms_test=32, rpn_batch=64, roi_batch=64, nms_backend="xla",
+    )
+    module = F.FasterRCNN(num_classes=4, config=cfg, policy=FLOAT32_POLICY)
+    x = jnp.asarray(
+        np.random.default_rng(66).uniform(0, 1, (1, 128, 128, 3)), jnp.float32
+    )
+    variables = module.init(
+        {"params": jax.random.key(4), "sampling": jax.random.key(5)},
+        x, train=False,
+    )
+    ids, scores, boxes = F.frcnn_forward_and_postprocess(
+        module, variables, x, backend="xla", topk=64, post_nms=16
+    )
+    return np.asarray(ids), np.asarray(scores), np.asarray(boxes)
+
+
+def _assert_matches(fixture, ids, scores, boxes):
+    assert os.path.exists(fixture), f"{fixture} missing — run regenerate"
+    with np.load(fixture) as data:
+        np.testing.assert_array_equal(ids, data["ids"])
+        np.testing.assert_allclose(scores, data["scores"], rtol=0, atol=1e-6)
+        np.testing.assert_allclose(boxes, data["boxes"], rtol=0, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_ssd_matches_golden():
+    _assert_matches(SSD_FIXTURE, *compute_ssd_detections())
+
+
+@pytest.mark.slow
+def test_frcnn_matches_golden():
+    _assert_matches(FRCNN_FIXTURE, *compute_frcnn_detections())
+
+
 if __name__ == "__main__":
     import sys
 
@@ -114,3 +181,8 @@ if __name__ == "__main__":
         np.savez(FLAGSHIP_FIXTURE, ids=ids, scores=scores, boxes=boxes)
         kept = int((ids >= 0).sum())
         print(f"wrote {FLAGSHIP_FIXTURE} ({kept} kept detections)")
+        for fixture, fn in ((SSD_FIXTURE, compute_ssd_detections),
+                            (FRCNN_FIXTURE, compute_frcnn_detections)):
+            ids, scores, boxes = fn()
+            np.savez(fixture, ids=ids, scores=scores, boxes=boxes)
+            print(f"wrote {fixture} ({int((ids >= 0).sum())} kept detections)")
