@@ -93,3 +93,30 @@ def test_compiled_step_contains_allreduce():
     compiled = step.lower(state, *sharded).compile()
     hlo = compiled.as_text()
     assert "all-reduce" in hlo, "no cross-device reduction in the DP step"
+
+
+def test_sharded_eval_matches_single_device():
+    """Batch-sharded inference (the evaluate CLI's multi-chip path) must
+    produce the same detections as default placement."""
+    from viddet_tpu.models.yolo3 import NMSConfig, forward_and_postprocess
+
+    module = YOLOv3(num_classes=3, backbone="tiny", policy=FLOAT32_POLICY)
+    x = jnp.asarray(
+        np.random.default_rng(3).uniform(0, 1, (8, 64, 64, 3)), jnp.float32
+    )
+    variables = module.init(jax.random.key(0), x, train=False)
+    nms = NMSConfig(backend="xla", topk=64, post_nms=16, valid_thresh=0.001)
+
+    @jax.jit
+    def infer(variables, images):
+        return forward_and_postprocess(module, variables, images, nms)
+
+    single = infer(variables, x)
+
+    mesh = make_mesh()
+    vr = jax.device_put(variables, replicate(mesh))
+    sharded = infer(vr, put_batch(x, mesh))
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )

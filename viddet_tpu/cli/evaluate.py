@@ -45,8 +45,24 @@ def parse_args(argv=None):
 
 def evaluate(module, variables, dataset, metric, args, logger):
     from viddet_tpu.cli.common import make_predictor
+    from viddet_tpu.parallel.mesh import make_mesh, put_batch, replicate
 
     infer = make_predictor(module)
+
+    # Multi-chip eval: shard the batch over the data mesh (the reference
+    # splits eval batches across GPUs the same way — SURVEY.md §4.2); GSPMD
+    # needs the batch divisible by the device count, else fall back to the
+    # default single-device placement.
+    mesh = make_mesh()
+    sharded = mesh.devices.size > 1 and args.batch_size % mesh.devices.size == 0
+    if sharded:
+        variables = jax.device_put(variables, replicate(mesh))
+        logger.info("eval sharded over %d device(s)", mesh.devices.size)
+    elif mesh.devices.size > 1:
+        logger.info(
+            "eval on 1 device (batch %d not divisible by %d devices)",
+            args.batch_size, mesh.devices.size,
+        )
 
     size = (args.data_shape, args.data_shape)
     if getattr(args, "temporal_k", 1) > 1:
@@ -72,7 +88,10 @@ def evaluate(module, variables, dataset, metric, args, logger):
         if batch.shape[0] < args.batch_size:  # pad last batch: one XLA shape
             pad = args.batch_size - batch.shape[0]
             batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
-        ids, scores, boxes = (np.asarray(r) for r in infer(variables, jnp.asarray(batch)))
+        device_batch = jnp.asarray(batch)
+        if sharded:
+            device_batch = put_batch(device_batch, mesh)
+        ids, scores, boxes = (np.asarray(r) for r in infer(variables, device_batch))
         n = images.shape[0]
         ids, scores, boxes = ids[:n], scores[:n], boxes[:n]
         # metric protocol runs in ORIGINAL image coordinates
