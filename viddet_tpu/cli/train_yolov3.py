@@ -359,6 +359,10 @@ def validate(module, state, val_ds, metric, args, eval_step):
         train=False,
         num_workers=args.num_workers,
     )
+    # validation batches shard over the same mesh as training (params are
+    # already replicated); single-device fallback on non-divisible batches
+    mesh = make_mesh()
+    shard_val = mesh.devices.size > 1 and args.batch_size % mesh.devices.size == 0
     for images, gt_boxes, gt_ids, difficult, affines, idxs in loader:
         n = images.shape[0]
         batch = images
@@ -366,9 +370,12 @@ def validate(module, state, val_ds, metric, args, eval_step):
             batch = np.concatenate(
                 [batch, np.zeros((args.batch_size - n,) + batch.shape[1:], batch.dtype)]
             )
+        device_batch = jnp.asarray(batch)
+        if shard_val:
+            device_batch = put_batch(device_batch, mesh)
         ids, scores, boxes = (
             np.asarray(r)
-            for r in eval_step(state.params, state.batch_stats, jnp.asarray(batch))
+            for r in eval_step(state.params, state.batch_stats, device_batch)
         )
         ids, scores, boxes = ids[:n], scores[:n], boxes[:n]
         boxes_orig = np.stack(
