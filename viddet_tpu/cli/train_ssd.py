@@ -48,6 +48,8 @@ def parse_args(argv=None):
     p.add_argument("--wd", type=float, default=5e-4)
     p.add_argument("--data-shape", type=int, default=512)
     p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--max-gt-boxes", type=int, default=100,
+                   help="static GT pad per image; overflow is dropped+logged")
     p.add_argument("--resume", default="")
     p.add_argument("--save-prefix", default="ssd512")
     p.add_argument("--save-interval", type=int, default=10)
@@ -79,6 +81,7 @@ def main(argv=None):
         train=True,
         num_workers=args.num_workers,
         seed=args.seed,
+        max_boxes=args.max_gt_boxes,
     )
     steps_per_epoch = max(len(loader), 1)
 
@@ -136,6 +139,11 @@ def main(argv=None):
                 logger.info("reached max-steps=%d, stopping", args.max_steps)
                 save_checkpoint(ckpt_dir, state, int(state.step))
                 return
+        if loader.dropped_boxes:
+            logger.warning(
+                "[Epoch %d] %d GT boxes dropped by --max-gt-boxes=%d pad",
+                epoch, loader.dropped_boxes, args.max_gt_boxes,
+            )
         if args.val_interval and (epoch + 1) % args.val_interval == 0:
             from viddet_tpu.cli.evaluate import evaluate
 
