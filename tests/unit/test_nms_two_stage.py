@@ -4,7 +4,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from viddet_tpu.ops.nms import multiclass_nms, multiclass_nms_from_logits, nms_keep_mask
+from viddet_tpu.ops.nms import (
+    multiclass_nms,
+    multiclass_nms_from_logits,
+    multiclass_nms_late_decode,
+    nms_keep_mask,
+)
 from viddet_tpu.ops.nms_pallas import nms_keep_mask_pallas
 
 
@@ -55,6 +60,37 @@ def test_two_stage_pallas_interpret_matches_xla():
     )
     for x, y in zip(a, b_):
         np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
+
+def test_late_decode_bitwise_matches_decode_then_nms():
+    """Top-k-then-decode must equal decode-then-top-k EXACTLY (not approximately):
+    the inference hot path relies on the two orderings performing identical
+    per-anchor float ops, so golden fixtures stay valid."""
+    rng = np.random.default_rng(7)
+    b, n, c = 3, 500, 11
+    raw_xy = jnp.asarray(rng.normal(size=(b, n, 2)).astype(np.float32))
+    raw_wh = jnp.asarray(rng.normal(size=(b, n, 2)).astype(np.float32) * 0.5)
+    obj_logits = jnp.asarray(rng.normal(size=(b, n, 1)).astype(np.float32))
+    cls_logits = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32) * 2.0)
+    grid_xy = jnp.asarray(rng.integers(0, 13, size=(n, 2)).astype(np.float32))
+    anchor_wh = jnp.asarray(rng.uniform(10, 100, size=(n, 2)).astype(np.float32))
+    stride_n = jnp.full((n, 1), 32.0, jnp.float32)
+
+    # Reference: decode every anchor exactly as the head does, then NMS.
+    center = (jax.nn.sigmoid(raw_xy) + grid_xy) * stride_n
+    wh = jnp.exp(raw_wh) * anchor_wh
+    half = 0.5 * wh
+    boxes = jnp.concatenate([center - half, center + half], axis=-1)
+    kw = dict(iou_thresh=0.45, valid_thresh=0.01, topk=64, post_nms=32)
+    want = multiclass_nms_from_logits(boxes, obj_logits, cls_logits, backend="xla", **kw)
+
+    cls_max = jnp.max(cls_logits, axis=-1)
+    got = multiclass_nms_late_decode(
+        raw_xy, raw_wh, obj_logits, cls_logits, cls_max,
+        grid_xy, anchor_wh, stride_n, backend="xla", **kw
+    )
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
 def test_two_stage_bf16_logits():

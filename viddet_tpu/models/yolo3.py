@@ -162,10 +162,15 @@ class YOLOv3Head(nn.Module):
         cls_max = jnp.concatenate(
             [jnp.max(r[..., 5:], axis=-1) for r in raws], axis=1
         )  # (B, N), compute dtype
-        raw = jnp.concatenate(raws, axis=1)  # (B, N, 5+C), compute dtype
         grid_xy = jnp.concatenate([c[0] for c in consts], axis=0)
         anchor_wh = jnp.concatenate([c[1] for c in consts], axis=0)
         stride_n = jnp.concatenate([c[2] for c in consts], axis=0)
+
+        # One concatenated (B, N, 5+C) tensor, sliced per field.  (Profiled
+        # alternative — concatenating per field from per-scale slices — costs
+        # +1.5 ms/batch-128 on v5e in pad/epilogue fusions; XLA handles the
+        # single concat + slices better.)
+        raw = jnp.concatenate(raws, axis=1)  # (B, N, 5+C), compute dtype
 
         raw_xy = raw[..., 0:2].astype(jnp.float32)
         raw_wh = raw[..., 2:4].astype(jnp.float32)
@@ -259,14 +264,27 @@ class NMSConfig:
 def postprocess(
     outputs: Dict[str, jnp.ndarray], nms: NMSConfig = NMSConfig()
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Decoded outputs -> (ids, scores, boxes), fixed-shape, -1 padded."""
-    from viddet_tpu.ops.nms import multiclass_nms_from_logits
+    """Decoded outputs -> (ids, scores, boxes), fixed-shape, -1 padded.
 
-    return multiclass_nms_from_logits(
-        outputs["boxes"],
+    Uses the late-decode NMS path (top-k the anchors first, decode boxes for
+    the k winners only — bit-identical to decoding everything, strictly less
+    work); under jit the head's full (B, N, 4) ``boxes`` decode is then
+    dead-code-eliminated on the inference path.
+    """
+    from viddet_tpu.ops.nms import multiclass_nms_late_decode
+
+    cls_max = outputs.get("cls_max")
+    if cls_max is None:
+        cls_max = jnp.max(outputs["raw_cls"], axis=-1)
+    return multiclass_nms_late_decode(
+        outputs["raw_xy"],
+        outputs["raw_wh"],
         outputs["raw_obj"],
         outputs["raw_cls"],
-        outputs.get("cls_max"),
+        cls_max,
+        outputs["grid_xy"],
+        outputs["anchors"],
+        outputs["strides"],
         iou_thresh=nms.iou_thresh,
         valid_thresh=nms.valid_thresh,
         topk=nms.topk,
