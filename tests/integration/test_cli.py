@@ -71,10 +71,14 @@ def test_visualise_cli_dataset(tmp_path):
     out = str(tmp_path / "vis")
     main([
         "--dataset", "synthetic", "--data-root", "synthetic",
-        "--output", out, "--max-images", "2",
+        "--output", out, "--max-images", "2", "--gif", "anim.gif",
     ])
     files = os.listdir(out)
     assert len([f for f in files if f.endswith("_vis.jpg")]) == 2
+    from PIL import Image
+
+    with Image.open(os.path.join(out, "anim.gif")) as gif:
+        assert gif.is_animated and gif.n_frames == 2
 
 
 def test_evaluate_cli_synthetic(tmp_path, caplog):

@@ -40,7 +40,10 @@ def parse_args(argv=None):
     p.add_argument("--thresh", type=float, default=0.5)
     p.add_argument("--max-images", type=int, default=0)
     p.add_argument("--video", default="", help="also write an mp4 of the frames")
+    p.add_argument("--gif", default="", help="also write an animated GIF of the frames")
     p.add_argument("--fps", type=float, default=25.0)
+    p.add_argument("--gif-max-width", type=int, default=480,
+                   help="downscale GIF frames to this width (0 = original)")
     from viddet_tpu.cli.common import parse_with_config
     return parse_with_config(p, argv)
 
@@ -93,6 +96,7 @@ def main(argv=None):
 
     name_to_id = {n: i for i, n in enumerate(class_names)}
     writer = None
+    gif_frames = []
     for stem, img, label in frames:
         vis = img
         if label is not None and len(label):
@@ -117,8 +121,26 @@ def main(argv=None):
                     (vis.shape[1], vis.shape[0]),
                 )
             writer.write(vis)
+        if args.gif:
+            g = vis
+            if args.gif_max_width and g.shape[1] > args.gif_max_width:
+                scale = args.gif_max_width / g.shape[1]
+                g = cv2.resize(g, (args.gif_max_width, int(g.shape[0] * scale)))
+            gif_frames.append(g)
     if writer is not None:
         writer.close()
+    if args.gif and gif_frames:
+        from PIL import Image
+
+        ims = [Image.fromarray(f) for f in gif_frames]
+        ims[0].save(
+            os.path.join(args.output, args.gif),
+            save_all=True,
+            append_images=ims[1:],
+            duration=max(1, int(1000.0 / args.fps)),
+            loop=0,
+        )
+        logger.info("wrote GIF %s (%d frames)", args.gif, len(gif_frames))
     logger.info("wrote %d visualisations to %s", len(frames), args.output)
 
 
