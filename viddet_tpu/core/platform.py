@@ -32,3 +32,30 @@ def default_nms_backend() -> str:
     """Kernel choice for in-graph NMS/ROI ops: Pallas on real accelerators,
     the jnp/XLA path on host CPU (where Pallas TPU kernels can't run)."""
     return "xla" if get_platform() == "cpu" else "pallas"
+
+
+_CONV_BACKEND: str | None = None
+
+
+def set_conv_backend(backend: str) -> None:
+    """Pin the ConvBNLeaky inference backend: "pallas", "xla",
+    "pallas_interpret" (CPU tests), or "auto"."""
+    global _CONV_BACKEND
+    _CONV_BACKEND = None if backend == "auto" else backend
+
+
+def conv_backend() -> str:
+    """Backend for the fused stride-2 ConvBNLeaky inference kernel.
+
+    Default is the XLA conv path; "pallas" (opt-in via ``set_conv_backend``
+    or the ``VIDDET_CONV_BACKEND`` env var) routes the shallow downsample
+    convs to the fused im2col kernel on TPU.
+    """
+    if _CONV_BACKEND is not None:
+        return _CONV_BACKEND
+    import os
+
+    env = os.environ.get("VIDDET_CONV_BACKEND")
+    if env in ("pallas", "xla", "pallas_interpret"):
+        return env
+    return "xla"

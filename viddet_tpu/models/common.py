@@ -11,10 +11,57 @@ from __future__ import annotations
 
 
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
 from viddet_tpu.core.precision import Policy, DEFAULT_POLICY
+
+
+class _ConvParams(nn.Module):
+    """Mimics ``nn.Conv``'s parameter tree (scope name set by the caller) so
+    the fused Pallas path can fetch the SAME 'Conv_0/kernel' parameter the
+    XLA path creates — checkpoints and init are byte-identical either way."""
+
+    features: int
+    kernel_size: int
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self, in_features: int) -> jnp.ndarray:
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, in_features, self.features),
+            self.param_dtype,
+        )
+
+
+class _BNParams(nn.Module):
+    """Mimics ``nn.BatchNorm``'s parameter/batch_stats tree (see above)."""
+
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param(
+            "scale", nn.initializers.ones, (features,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (features,), self.param_dtype
+        )
+        mean = self.variable(
+            "batch_stats",
+            "mean",
+            lambda: jnp.zeros((features,), jnp.float32),
+        )
+        var = self.variable(
+            "batch_stats",
+            "var",
+            lambda: jnp.ones((features,), jnp.float32),
+        )
+        return scale, bias, mean.value, var.value
 
 
 class ConvBNLeaky(nn.Module):
@@ -23,6 +70,12 @@ class ConvBNLeaky(nn.Module):
     Mirrors the reference stack's ``_conv2d`` helper (conv + BN + leaky in
     every Darknet/YOLO layer); here the BN scale/shift folds into the conv
     epilogue under XLA at inference.
+
+    TPU inference fast path: the shallow stride-2 3x3 downsample convs
+    (Cin < 256) run far below speed-of-light under XLA's conv lowering
+    (MXU K-dim padding — docs/perf_notes.md); on TPU those route to the
+    fused im2col Pallas kernel (``ops/conv_pallas.py``) with BN+leaky in
+    the epilogue.  Parameter trees are identical on every path.
     """
 
     features: int
@@ -33,6 +86,40 @@ class ConvBNLeaky(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if (
+            not train
+            and not self.is_initializing()
+            and self.strides == 2
+            and self.kernel_size == 3
+            and x.shape[-1] < 256
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            from viddet_tpu.core.platform import conv_backend
+
+            backend = conv_backend()
+            if backend in ("pallas", "pallas_interpret"):
+                from viddet_tpu.ops.conv_pallas import conv_down2_bn_leaky
+
+                kernel = _ConvParams(
+                    self.features,
+                    self.kernel_size,
+                    self.policy.param_dtype,
+                    name="Conv_0",
+                )(x.shape[-1])
+                scale, bias, mean, var = _BNParams(
+                    self.policy.param_dtype, name="BatchNorm_0"
+                )(self.features)
+                return conv_down2_bn_leaky(
+                    x,
+                    kernel,
+                    scale,
+                    bias,
+                    mean,
+                    var,
+                    interpret=(backend == "pallas_interpret"),
+                )
+
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
