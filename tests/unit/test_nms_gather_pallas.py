@@ -1,0 +1,125 @@
+"""Bit-exactness of the fused gather-decode NMS path vs the XLA chain.
+
+The fused path (ops/nms_gather_pallas.py + multiclass_nms_late_decode_fused)
+must produce byte-identical detections to multiclass_nms_late_decode — the
+gather is an exact one-hot matmul and every float op runs in the same order.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viddet_tpu.ops.nms import (
+    multiclass_nms_late_decode,
+    multiclass_nms_late_decode_fused,
+)
+from viddet_tpu.ops.nms_gather_pallas import (
+    const_hilo_np,
+    gather_decode_pairs,
+    scale_constants_np,
+)
+
+ANCHORS = (
+    ((116, 90), (156, 198), (373, 326)),
+    ((30, 61), (62, 45), (59, 119)),
+    ((10, 13), (16, 30), (33, 23)),
+)
+STRIDES = (32, 16, 8)
+
+
+def _make_scales(rng, b, img, c, dtype=jnp.bfloat16):
+    raws, hilos, consts = [], [], []
+    for anc, st in zip(ANCHORS, STRIDES):
+        h = w = img // st
+        n = h * w * len(anc)
+        raws.append(
+            jnp.asarray(rng.normal(size=(b, n, 5 + c)).astype(np.float32)).astype(
+                dtype
+            )
+        )
+        cst = scale_constants_np(h, w, anc, st)
+        hilo, exact = const_hilo_np(cst)
+        assert exact, "stock constants must split exactly"
+        hilos.append(jnp.asarray(hilo, jnp.bfloat16))
+        consts.append(cst)
+    return raws, hilos, np.concatenate(consts, axis=0)
+
+
+def test_gather_decode_pairs_bit_exact():
+    rng = np.random.default_rng(0)
+    b, img, c, k = 3, 64, 20, 40
+    raws, hilos, consts = _make_scales(rng, b, img, c)
+    n = consts.shape[0]
+    a_idx = jnp.asarray(rng.integers(0, n, size=(b, k)).astype(np.int32))
+
+    boxes, pairs = gather_decode_pairs(
+        tuple(raws), tuple(hilos), a_idx, interpret=True
+    )
+
+    raw = jnp.concatenate(raws, axis=1)
+    g = jnp.take_along_axis(raw, a_idx[..., None], axis=1).astype(jnp.float32)
+    cj = jnp.asarray(consts)
+    gc = cj[a_idx]
+    xy = jax.nn.sigmoid(g[..., 0:2])
+    wh = jnp.exp(g[..., 2:4])
+    center = (xy + gc[..., 0:2]) * gc[..., 4:5]
+    half = 0.5 * (wh * gc[..., 2:4])
+    want_boxes = jnp.concatenate([center - half, center + half], axis=-1)
+    want_pairs = jax.nn.sigmoid(g[..., 4:5]) * jax.nn.sigmoid(g[..., 5:])
+
+    assert bool(jnp.all(boxes == want_boxes))
+    assert bool(jnp.all(pairs == want_pairs))
+
+
+def test_fused_late_decode_matches_xla_chain():
+    rng = np.random.default_rng(1)
+    b, img, c = 2, 64, 20
+    raws, hilos, consts = _make_scales(rng, b, img, c)
+
+    raw = jnp.concatenate(raws, axis=1)
+    cls_max = jnp.max(raw[..., 5:], axis=-1)
+    cj = jnp.asarray(consts)
+    kw = dict(iou_thresh=0.45, valid_thresh=0.01, topk=40, post_nms=10)
+
+    ids_x, sc_x, bx_x = multiclass_nms_late_decode(
+        raw[..., 0:2].astype(jnp.float32),
+        raw[..., 2:4].astype(jnp.float32),
+        raw[..., 4:5],
+        raw[..., 5:],
+        cls_max,
+        cj[:, 0:2],
+        cj[:, 2:4],
+        cj[:, 4:5],
+        backend="xla",
+        **kw,
+    )
+    ids_p, sc_p, bx_p = multiclass_nms_late_decode_fused(
+        tuple(raws), tuple(hilos), cls_max, backend="pallas_interpret", **kw
+    )
+    np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
+    np.testing.assert_array_equal(np.asarray(sc_p), np.asarray(sc_x))
+    np.testing.assert_array_equal(np.asarray(bx_p), np.asarray(bx_x))
+
+
+def test_forward_and_postprocess_backend_parity():
+    """Whole-model check: pallas_interpret (fused path) == xla backend."""
+    from viddet_tpu.models.yolo3 import NMSConfig, YOLOv3, forward_and_postprocess
+    from viddet_tpu.core.precision import Policy
+
+    policy = Policy(compute_dtype=jnp.float32, param_dtype=jnp.float32)
+    module = YOLOv3(num_classes=4, backbone="tiny", policy=policy)
+    images = jax.random.uniform(jax.random.key(0), (2, 64, 64, 3), jnp.float32)
+    variables = module.init(jax.random.key(1), images, train=False)
+
+    ids_x, sc_x, bx_x = forward_and_postprocess(
+        module, variables, images, NMSConfig(topk=40, post_nms=10, backend="xla")
+    )
+    ids_p, sc_p, bx_p = forward_and_postprocess(
+        module,
+        variables,
+        images,
+        NMSConfig(topk=40, post_nms=10, backend="pallas_interpret"),
+    )
+    np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
+    np.testing.assert_array_equal(np.asarray(sc_p), np.asarray(sc_x))
+    np.testing.assert_array_equal(np.asarray(bx_p), np.asarray(bx_x))

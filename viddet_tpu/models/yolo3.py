@@ -193,6 +193,10 @@ class YOLOv3Head(nn.Module):
             "grid_xy": grid_xy,
             "anchors": anchor_wh,
             "strides": stride_n,
+            # Per-scale raw head tensors (deepest first) for the fused
+            # gather-decode NMS path; unused consumers are dead-code
+            # eliminated under jit (they alias `raw` pre-concat).
+            "raws_scales": tuple(raws),
         }
 
 
@@ -300,4 +304,36 @@ def forward_and_postprocess(module: YOLOv3, variables, images, nms: NMSConfig = 
     outputs and fuses decode+NMS with the backbone.
     """
     outputs = module.apply(variables, images, train=False)
+    backend = nms.resolved_backend()
+    if backend in ("pallas", "pallas_interpret") and "raws_scales" in outputs:
+        # Fused per-scale gather-decode path (bit-identical; ~2 ms faster
+        # per batch-128 on v5e).  Decode constants must survive the exact
+        # bf16 hi/lo split; true for all stock integer anchor sets, and we
+        # fall back to the sliced XLA-gather path otherwise.
+        from viddet_tpu.ops.nms import multiclass_nms_late_decode_fused
+        from viddet_tpu.ops.nms_gather_pallas import (
+            const_hilo_np,
+            scale_constants_np,
+        )
+
+        anchors, strides, _ = module._config()
+        img_h, img_w = images.shape[1], images.shape[2]
+        hilos = []
+        exact = True
+        for anc, st in zip(anchors, strides):
+            consts = scale_constants_np(img_h // st, img_w // st, anc, st)
+            hilo, ok = const_hilo_np(consts)
+            exact = exact and ok
+            hilos.append(jnp.asarray(hilo, jnp.bfloat16))
+        if exact:
+            return multiclass_nms_late_decode_fused(
+                outputs["raws_scales"],
+                tuple(hilos),
+                outputs["cls_max"],
+                iou_thresh=nms.iou_thresh,
+                valid_thresh=nms.valid_thresh,
+                topk=nms.topk,
+                post_nms=nms.post_nms,
+                backend=backend,
+            )
     return postprocess(outputs, nms)

@@ -25,68 +25,52 @@ oracle; ``tests/unit/test_conv_pallas.py`` pins parity.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _tap_slices_pairview(xp, r0, rows, w2, cin, last_chunk):
-    """9 im2col taps from the pair-packed view.
-
-    ``xp``: (H2, 2, W2, 2*Cin) — rows split by parity (outer), adjacent
-    column pairs packed into lanes.  Returns list of 9 arrays
-    (rows, W2, Cin) in (dy, dx) row-major tap order.
-    """
-    r_e = xp[r0 : r0 + rows, 0]  # even input rows 2i      (rows, W2, 2C)
-    r_o = xp[r0 : r0 + rows, 1]  # odd input rows 2i+1
-    if last_chunk:
-        # dy=2 needs even row 2i+2 -> row index i+1; bottom row is SAME pad.
-        nxt = jnp.concatenate(
-            [xp[r0 + 1 : r0 + rows, 0], jnp.zeros_like(r_e[:1])], axis=0
-        )
-    else:
-        nxt = xp[r0 + 1 : r0 + rows + 1, 0]
-    taps = []
-    zcol = None
-    for dy_rows in (r_e, r_o, nxt):
-        ev = dy_rows[:, :, :cin]  # col 2j   (dx=0)
-        od = dy_rows[:, :, cin:]  # col 2j+1 (dx=1)
-        if zcol is None:
-            zcol = jnp.zeros_like(ev[:, :1])
-        # col 2j+2 = even half of pair j+1; rightmost is SAME pad.
-        ev_next = jnp.concatenate([ev[:, 1:], zcol], axis=1)
-        taps.extend([ev, od, ev_next])
-    return taps
-
-
 def _kernel_pairview(x_ref, w_ref, a_ref, b_ref, o_ref, *, rows_per_chunk, slope):
-    """One image per grid step; input pre-viewed as (H2, 2, W2, 2*Cin)."""
+    """One image per grid step; input pre-viewed as (H2, 2, W2, 2*Cin).
+
+    Loads are sliced straight from the ref per chunk (never materialize the
+    whole block as a value) and the affine params are (1, Cout) 2-D — both
+    required to keep Mosaic on the vector units.
+    """
     h2 = x_ref.shape[1]
     w2 = x_ref.shape[3]
     cin = x_ref.shape[4] // 2
-    xp = x_ref[0]
-    w = w_ref[:]
-    a = a_ref[:].astype(jnp.float32)
-    b = b_ref[:].astype(jnp.float32)
-    n_chunks = h2 // rows_per_chunk
+    r = rows_per_chunk
+    w = w_ref[...]
+    a = a_ref[...].astype(jnp.float32)  # (1, Cout)
+    b = b_ref[...].astype(jnp.float32)
+    n_chunks = h2 // r
     for c in range(n_chunks):
-        r0 = c * rows_per_chunk
-        taps = _tap_slices_pairview(
-            xp, r0, rows_per_chunk, w2, cin, last_chunk=(c == n_chunks - 1)
-        )
-        im2col = jnp.concatenate(taps, axis=-1)  # (rows, W2, 9*Cin)
-        acc = jax.lax.dot_general(
-            im2col,
-            w,
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (rows, W2, Cout)
-        y = acc * a + b
+        r0 = c * r
+        last = c == n_chunks - 1
+        r_e = x_ref[0, r0 : r0 + r, 0]  # even input rows 2i  (r, W2, 2C)
+        r_o = x_ref[0, r0 : r0 + r, 1]  # odd input rows 2i+1
+        if last:
+            nxt = jnp.concatenate(
+                [x_ref[0, r0 + 1 : r0 + r, 0], jnp.zeros_like(r_e[:1])], axis=0
+            )
+        else:
+            nxt = x_ref[0, r0 + 1 : r0 + r + 1, 0]
+        taps = []
+        zcol = None
+        for dy_rows in (r_e, r_o, nxt):
+            ev = dy_rows[:, :, :cin]  # col 2j   (dx=0)
+            od = dy_rows[:, :, cin:]  # col 2j+1 (dx=1)
+            if zcol is None:
+                zcol = jnp.zeros_like(ev[:, :1])
+            # col 2j+2 = even half of pair j+1; rightmost is SAME pad.
+            taps.extend([ev, od, jnp.concatenate([ev[:, 1:], zcol], axis=1)])
+        im2col = jnp.concatenate(taps, axis=-1).reshape(r * w2, 9 * cin)
+        acc = jnp.dot(im2col, w, preferred_element_type=jnp.float32)
+        y = acc * a + b  # (r*W2, Cout) * (1, Cout)
         y = jnp.where(y >= 0, y, y * slope)
-        o_ref[0, r0 : r0 + rows_per_chunk] = y.astype(o_ref.dtype)
+        o_ref[0, r0 : r0 + r] = y.reshape(r, w2, -1).astype(o_ref.dtype)
 
 
 def _pick_rows_per_chunk(h2: int, w2: int, k: int) -> int:
@@ -158,8 +142,8 @@ def conv_down2_bn_leaky(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((9 * cin, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cout,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cout,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, h2, w2, cout), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
@@ -172,7 +156,7 @@ def conv_down2_bn_leaky(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xp, w2d, a, b)
+    )(xp, w2d, a[None, :], b[None, :])
     return out
 
 

@@ -277,7 +277,19 @@ def multiclass_nms_late_decode(
     obj_k = jnp.take_along_axis(obj, a_idx, axis=1)  # (B, k)
 
     pair_scores = obj_k[..., None] * jax.nn.sigmoid(cls_k)  # (B, k, C)
-    top_scores, p_idx = _pair_top_k(pair_scores.reshape(b, k * c), min(topk, k * c), backend)
+    return _stage2_and_nms(
+        boxes_k, pair_scores, iou_thresh, valid_thresh, topk, post_nms, backend
+    )
+
+
+def _stage2_and_nms(
+    boxes_k, pair_scores, iou_thresh, valid_thresh, topk, post_nms, backend
+):
+    """Shared stage-2 (anchor, class) top-k -> candidate gather -> NMS."""
+    b, k, c = pair_scores.shape
+    top_scores, p_idx = _pair_top_k(
+        pair_scores.reshape(b, k * c), min(topk, k * c), backend
+    )
     if top_scores.shape[1] < topk:  # k*c < topk: pad (tiny class counts)
         pad = topk - top_scores.shape[1]
         top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)), constant_values=-1.0)
@@ -288,6 +300,59 @@ def multiclass_nms_late_decode(
     valid = top_scores > valid_thresh
     return _nms_on_candidates(
         cand_boxes, top_scores, cls_idx, valid, iou_thresh, post_nms, backend
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iou_thresh", "valid_thresh", "topk", "post_nms", "backend"),
+)
+def multiclass_nms_late_decode_fused(
+    raws: Tuple[jnp.ndarray, ...],
+    const_hilo: Tuple[jnp.ndarray, ...],
+    cls_max_logits: jnp.ndarray,
+    *,
+    iou_thresh: float = 0.45,
+    valid_thresh: float = 0.01,
+    topk: int = 400,
+    post_nms: int = 100,
+    backend: str = "pallas",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Late-decode NMS consuming PER-SCALE raw head tensors directly.
+
+    Bit-identical to ``multiclass_nms_late_decode`` (pinned by tests): the
+    stage-1 gather, box decode, and pair-score chain run as one Pallas
+    kernel (``ops/nms_gather_pallas.py`` — gather as an exact one-hot MXU
+    matmul), which removes the concatenated (B, N, 5+C) head tensor and
+    five XLA gathers from the program (~2 ms/batch-128 on v5e).
+
+    Args:
+      raws: per-scale (B, Ni, 5+C) raw head outputs, deepest scale first.
+      const_hilo: per-scale (Ni, 10) bf16 hi/lo decode constants
+        (``nms_gather_pallas.const_hilo_np``; caller must have verified
+        exactness and fallen back to the XLA path otherwise).
+      cls_max_logits: (B, N) per-anchor max class logit (concatenated in
+        the same scale order; computed per scale so it fuses with the
+        output convs).
+    """
+    from viddet_tpu.ops.nms_gather_pallas import gather_decode_pairs
+
+    b, n = cls_max_logits.shape
+    k = min(topk, n)
+
+    obj_logits = jnp.concatenate([r[..., 4] for r in raws], axis=1)  # (B, N)
+    obj = jax.nn.sigmoid(obj_logits.astype(jnp.float32))
+    anchor_score = obj * jax.nn.sigmoid(cls_max_logits.astype(jnp.float32))
+    _, a_idx = jax.lax.top_k(anchor_score, k)  # (B, k)
+
+    boxes_k, pair_scores = gather_decode_pairs(
+        tuple(raws),
+        tuple(const_hilo),
+        a_idx,
+        interpret=(backend == "pallas_interpret"),
+    )
+    return _stage2_and_nms(
+        boxes_k, pair_scores, iou_thresh, valid_thresh, topk, post_nms, backend
     )
 
 
