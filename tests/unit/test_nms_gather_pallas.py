@@ -2,7 +2,9 @@
 
 The fused path (ops/nms_gather_pallas.py + multiclass_nms_late_decode_fused)
 must produce byte-identical detections to multiclass_nms_late_decode — the
-gather is an exact one-hot matmul and every float op runs in the same order.
+gather is an exact one-hot matmul over grid cells, the decode constants are
+recomputed with provably-exact f32 integer arithmetic, and every float op
+runs in the same order.
 """
 
 import jax
@@ -14,7 +16,6 @@ from viddet_tpu.ops.nms import (
     multiclass_nms_late_decode_fused,
 )
 from viddet_tpu.ops.nms_gather_pallas import (
-    const_hilo_np,
     gather_decode_pairs,
     scale_constants_np,
 )
@@ -28,35 +29,37 @@ STRIDES = (32, 16, 8)
 
 
 def _make_scales(rng, b, img, c, dtype=jnp.bfloat16):
-    raws, hilos, consts = [], [], []
+    """Returns per-scale cell-layout raws, static meta, concat consts, and
+    the anchor-layout concat raw tensor for the oracle."""
+    cells_raws, meta, consts, flat_raws = [], [], [], []
+    na = 3
     for anc, st in zip(ANCHORS, STRIDES):
         h = w = img // st
-        n = h * w * len(anc)
-        raws.append(
-            jnp.asarray(rng.normal(size=(b, n, 5 + c)).astype(np.float32)).astype(
-                dtype
-            )
+        n = h * w * na
+        r = jnp.asarray(
+            rng.normal(size=(b, n, 5 + c)).astype(np.float32)
+        ).astype(dtype)
+        flat_raws.append(r)
+        cells_raws.append(r.reshape(b, h * w, na * (5 + c)))
+        meta.append(
+            (h * w, w, st, tuple((float(x), float(y)) for x, y in anc))
         )
-        cst = scale_constants_np(h, w, anc, st)
-        hilo, exact = const_hilo_np(cst)
-        assert exact, "stock constants must split exactly"
-        hilos.append(jnp.asarray(hilo, jnp.bfloat16))
-        consts.append(cst)
-    return raws, hilos, np.concatenate(consts, axis=0)
+        consts.append(scale_constants_np(h, w, anc, st))
+    return cells_raws, tuple(meta), np.concatenate(consts, axis=0), flat_raws
 
 
 def test_gather_decode_pairs_bit_exact():
     rng = np.random.default_rng(0)
     b, img, c, k = 3, 64, 20, 40
-    raws, hilos, consts = _make_scales(rng, b, img, c)
+    cells, meta, consts, flat = _make_scales(rng, b, img, c)
     n = consts.shape[0]
     a_idx = jnp.asarray(rng.integers(0, n, size=(b, k)).astype(np.int32))
 
     boxes, pairs = gather_decode_pairs(
-        tuple(raws), tuple(hilos), a_idx, interpret=True
+        tuple(cells), a_idx, meta, interpret=True
     )
 
-    raw = jnp.concatenate(raws, axis=1)
+    raw = jnp.concatenate(flat, axis=1)
     g = jnp.take_along_axis(raw, a_idx[..., None], axis=1).astype(jnp.float32)
     cj = jnp.asarray(consts)
     gc = cj[a_idx]
@@ -74,10 +77,11 @@ def test_gather_decode_pairs_bit_exact():
 def test_fused_late_decode_matches_xla_chain():
     rng = np.random.default_rng(1)
     b, img, c = 2, 64, 20
-    raws, hilos, consts = _make_scales(rng, b, img, c)
+    cells, meta, consts, flat = _make_scales(rng, b, img, c)
 
-    raw = jnp.concatenate(raws, axis=1)
+    raw = jnp.concatenate(flat, axis=1)
     cls_max = jnp.max(raw[..., 5:], axis=-1)
+    obj_logit = raw[..., 4]
     cj = jnp.asarray(consts)
     kw = dict(iou_thresh=0.45, valid_thresh=0.01, topk=40, post_nms=10)
 
@@ -94,7 +98,7 @@ def test_fused_late_decode_matches_xla_chain():
         **kw,
     )
     ids_p, sc_p, bx_p = multiclass_nms_late_decode_fused(
-        tuple(raws), tuple(hilos), cls_max, backend="pallas_interpret", **kw
+        tuple(cells), obj_logit, cls_max, meta, backend="pallas_interpret", **kw
     )
     np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
     np.testing.assert_array_equal(np.asarray(sc_p), np.asarray(sc_x))

@@ -123,6 +123,7 @@ class YOLOv3Head(nn.Module):
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name)
         num_pred = 5 + self.num_classes
         raws: List[jnp.ndarray] = []
+        raws_cells: List[jnp.ndarray] = []
         consts = []
         route = None
         for i, (feat, ch) in enumerate(zip(feats, self.head_channels)):
@@ -149,6 +150,7 @@ class YOLOv3Head(nn.Module):
             )(tip)
             b, h, w, _ = out.shape
             raws.append(out.reshape(b, h * w * na, num_pred))
+            raws_cells.append(out.reshape(b, h * w, na * num_pred))
             consts.append(_scale_constants(h, w, anchors[i], strides[i]))
 
         # Keep the big head tensor in compute dtype (bf16): the dense
@@ -193,10 +195,11 @@ class YOLOv3Head(nn.Module):
             "grid_xy": grid_xy,
             "anchors": anchor_wh,
             "strides": stride_n,
-            # Per-scale raw head tensors (deepest first) for the fused
-            # gather-decode NMS path; unused consumers are dead-code
-            # eliminated under jit (they alias `raw` pre-concat).
-            "raws_scales": tuple(raws),
+            # Per-scale CELL-layout head tensors (deepest first) plus the
+            # flat objectness logits for the fused gather-decode NMS path;
+            # unused consumers are dead-code eliminated under jit.
+            "raws_cells": tuple(raws_cells),
+            "obj_logit": jnp.concatenate([r[..., 4] for r in raws], axis=1),
         }
 
 
@@ -305,35 +308,34 @@ def forward_and_postprocess(module: YOLOv3, variables, images, nms: NMSConfig = 
     """
     outputs = module.apply(variables, images, train=False)
     backend = nms.resolved_backend()
-    if backend in ("pallas", "pallas_interpret") and "raws_scales" in outputs:
-        # Fused per-scale gather-decode path (bit-identical; ~2 ms faster
-        # per batch-128 on v5e).  Decode constants must survive the exact
-        # bf16 hi/lo split; true for all stock integer anchor sets, and we
-        # fall back to the sliced XLA-gather path otherwise.
+    if backend in ("pallas", "pallas_interpret") and "raws_cells" in outputs:
+        # Fused per-scale gather-decode path (bit-identical; ~3 ms faster
+        # per batch-128 on v5e): the kernel consumes the output convs'
+        # natural cell layout and recomputes decode constants from the
+        # static config, so the (B, N, 5+C) concat and the per-scale
+        # anchor-split reshapes never materialize.
         from viddet_tpu.ops.nms import multiclass_nms_late_decode_fused
-        from viddet_tpu.ops.nms_gather_pallas import (
-            const_hilo_np,
-            scale_constants_np,
-        )
 
         anchors, strides, _ = module._config()
         img_h, img_w = images.shape[1], images.shape[2]
-        hilos = []
-        exact = True
-        for anc, st in zip(anchors, strides):
-            consts = scale_constants_np(img_h // st, img_w // st, anc, st)
-            hilo, ok = const_hilo_np(consts)
-            exact = exact and ok
-            hilos.append(jnp.asarray(hilo, jnp.bfloat16))
-        if exact:
-            return multiclass_nms_late_decode_fused(
-                outputs["raws_scales"],
-                tuple(hilos),
-                outputs["cls_max"],
-                iou_thresh=nms.iou_thresh,
-                valid_thresh=nms.valid_thresh,
-                topk=nms.topk,
-                post_nms=nms.post_nms,
-                backend=backend,
+        meta = tuple(
+            (
+                (img_h // st) * (img_w // st),
+                img_w // st,
+                int(st),
+                tuple((float(aw), float(ah)) for aw, ah in anc),
             )
+            for anc, st in zip(anchors, strides)
+        )
+        return multiclass_nms_late_decode_fused(
+            outputs["raws_cells"],
+            outputs["obj_logit"],
+            outputs["cls_max"],
+            meta,
+            iou_thresh=nms.iou_thresh,
+            valid_thresh=nms.valid_thresh,
+            topk=nms.topk,
+            post_nms=nms.post_nms,
+            backend=backend,
+        )
     return postprocess(outputs, nms)

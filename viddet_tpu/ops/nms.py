@@ -305,12 +305,20 @@ def _stage2_and_nms(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iou_thresh", "valid_thresh", "topk", "post_nms", "backend"),
+    static_argnames=(
+        "meta",
+        "iou_thresh",
+        "valid_thresh",
+        "topk",
+        "post_nms",
+        "backend",
+    ),
 )
 def multiclass_nms_late_decode_fused(
-    raws: Tuple[jnp.ndarray, ...],
-    const_hilo: Tuple[jnp.ndarray, ...],
+    raws_cells: Tuple[jnp.ndarray, ...],
+    obj_logits: jnp.ndarray,
     cls_max_logits: jnp.ndarray,
+    meta,
     *,
     iou_thresh: float = 0.45,
     valid_thresh: float = 0.01,
@@ -318,37 +326,37 @@ def multiclass_nms_late_decode_fused(
     post_nms: int = 100,
     backend: str = "pallas",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Late-decode NMS consuming PER-SCALE raw head tensors directly.
+    """Late-decode NMS consuming PER-SCALE cell-layout head tensors directly.
 
     Bit-identical to ``multiclass_nms_late_decode`` (pinned by tests): the
     stage-1 gather, box decode, and pair-score chain run as one Pallas
     kernel (``ops/nms_gather_pallas.py`` — gather as an exact one-hot MXU
-    matmul), which removes the concatenated (B, N, 5+C) head tensor and
-    five XLA gathers from the program (~2 ms/batch-128 on v5e).
+    matmul over grid cells, decode constants recomputed arithmetically),
+    which removes the concatenated (B, N, 5+C) head tensor, the per-scale
+    anchor-split reshapes, and five XLA gathers from the program
+    (~3 ms/batch-128 on v5e).
 
     Args:
-      raws: per-scale (B, Ni, 5+C) raw head outputs, deepest scale first.
-      const_hilo: per-scale (Ni, 10) bf16 hi/lo decode constants
-        (``nms_gather_pallas.const_hilo_np``; caller must have verified
-        exactness and fallen back to the XLA path otherwise).
-      cls_max_logits: (B, N) per-anchor max class logit (concatenated in
-        the same scale order; computed per scale so it fuses with the
-        output convs).
+      raws_cells: per-scale (B, h*w, na*(5+C)) raw head outputs (the output
+        conv's natural layout, h/w merged), deepest scale first.
+      obj_logits / cls_max_logits: (B, N) per-anchor objectness / max class
+        logit, concatenated in the same (scale, row, col, anchor) order
+        (computed per scale so they fuse with the output convs).
+      meta: static per-scale ``(cells, width, stride, anchors)`` tuples.
     """
     from viddet_tpu.ops.nms_gather_pallas import gather_decode_pairs
 
     b, n = cls_max_logits.shape
     k = min(topk, n)
 
-    obj_logits = jnp.concatenate([r[..., 4] for r in raws], axis=1)  # (B, N)
     obj = jax.nn.sigmoid(obj_logits.astype(jnp.float32))
     anchor_score = obj * jax.nn.sigmoid(cls_max_logits.astype(jnp.float32))
     _, a_idx = jax.lax.top_k(anchor_score, k)  # (B, k)
 
     boxes_k, pair_scores = gather_decode_pairs(
-        tuple(raws),
-        tuple(const_hilo),
+        tuple(raws_cells),
         a_idx,
+        meta,
         interpret=(backend == "pallas_interpret"),
     )
     return _stage2_and_nms(

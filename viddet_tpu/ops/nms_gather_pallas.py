@@ -2,21 +2,23 @@
 
 The YOLO inference tail between the stage-1 anchor top-k and the stage-2
 (anchor, class) top-k is, in XLA, a chain of five ``take_along_axis``
-gathers plus the big head-tensor concat/slices feeding them — ~4.5 ms of
-pure data movement at batch 128 on v5e (profiled; docs/perf_notes.md).
+gathers plus the head-tensor concat/reshape/slices feeding them — ~4.5 ms
+of pure data movement at batch 128 on v5e (profiled; docs/perf_notes.md).
 This kernel replaces all of it with one pass per image:
 
 * **Gather as a one-hot matmul.**  Mosaic has no general gather, but the
-  MXU is idle here: ``onehot(idx) @ raw`` IS the gather, runs on the
+  MXU is idle here: ``onehot(cell_idx) @ head`` IS the gather, runs on the
   systolic array, and is exact — each output row is ``1.0 * value``.  One
-  dot per FPN scale also merges the scales, so the (B, N, 5+C) head concat
-  is never materialized (XLA dead-code-eliminates it).
-* **Decode constants ride in the same dot.**  grid/anchor/stride are
-  appended to the raw tensor as columns.  They must survive bf16: each
-  f32 constant is split into an exact hi+lo bf16 pair (16 mantissa bits —
-  exact for the integer grids/anchors/strides of every stock config; the
-  split is verified with numpy at trace time and the caller falls back to
-  the XLA path if it is not exact).
+  dot per FPN scale also merges the scales, so neither the (B, N, 5+C)
+  concat nor the per-scale (B, h*w*na, 5+C) anchor-split reshapes are ever
+  materialized: the kernel consumes the head's natural (B, h*w, na*(5+C))
+  cell layout and selects the winning anchor's lane group with static
+  slices + masks.
+* **Decode constants are recomputed, not gathered.**  grid x/y, stride,
+  and the anchor priors are pure functions of the flat index and the
+  static config — a handful of exact f32 VPU ops per candidate (integer
+  div/mod via a provably-exact float trick), bit-identical to the
+  reference constants.
 * The sigmoid/exp late decode and the ``obj * sigmoid(cls)`` pair scores
   run in the epilogue, so the kernel emits exactly the two tensors the
   stage-2 top-k needs.
@@ -33,15 +35,16 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def scale_constants_np(h: int, w: int, anchors, stride: int) -> np.ndarray:
+def scale_constants_np(h: int, w: int, anchors, stride: int):
     """(N, 5) float32 [grid_x, grid_y, anchor_w, anchor_h, stride] in the
     head's (row, col, anchor) flattening order — numpy twin of
-    ``models.yolo3._scale_constants``."""
+    ``models.yolo3._scale_constants`` (test oracle helper)."""
+    import numpy as np
+
     na = len(anchors)
     gx = np.broadcast_to(np.arange(w, dtype=np.float32)[None, :, None], (h, w, na))
     gy = np.broadcast_to(np.arange(h, dtype=np.float32)[:, None, None], (h, w, na))
@@ -55,50 +58,87 @@ def scale_constants_np(h: int, w: int, anchors, stride: int) -> np.ndarray:
     return np.stack([gx, gy, aw, ah, st], axis=-1).reshape(-1, 5)
 
 
-def const_hilo_np(consts: np.ndarray) -> Tuple[np.ndarray, bool]:
-    """Split (N, 5) f32 constants into an (N, 10) bf16 [hi | lo] matrix.
+def _exact_divmod(n_f: jnp.ndarray, d: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """floor(n/d), n%d for small non-negative integer-valued f32 vectors.
 
-    Returns (hilo, exact): ``exact`` is True iff f32(hi) + f32(lo)
-    reconstructs every constant bit-for-bit (16 mantissa bits suffice for
-    all stock grids/anchors/strides).  Pure numpy (ml_dtypes) so it is
-    safe to call while tracing an outer jit."""
-    import ml_dtypes
-
-    bf16 = ml_dtypes.bfloat16
-    hi = consts.astype(bf16)
-    lo = (consts - hi.astype(np.float32)).astype(bf16)
-    exact = bool(
-        np.all(hi.astype(np.float32) + lo.astype(np.float32) == consts)
-    )
-    return np.concatenate([hi, lo], axis=-1), exact
+    ``floor((n + 0.5) / d)`` is exact: (n+0.5)/d lies strictly inside
+    (q, q+1) and f32 rounding (|rel err| <= 2^-24) cannot cross either
+    integer boundary for n < 2^22.
+    """
+    q = jnp.floor((n_f + 0.5) / float(d))
+    return q, n_f - q * float(d)
 
 
-def _make_kernel(sizes, k, d, cc):
-    """Kernel over one image: gather+decode+score for ``len(sizes)`` scales."""
+def _make_kernel(meta, k, c):
+    """Kernel over one image.
 
-    n_scales = len(sizes)
+    meta: static per-scale tuples (cells, width, stride, anchors) with
+    anchors = ((w, h), ...) python floats; deepest scale first.
+    """
+    na = len(meta[0][3])
+    d = 5 + c
+    lanes = na * d
 
     def kernel(*refs):
-        raw_refs = refs[:n_scales]
-        const_refs = refs[n_scales : 2 * n_scales]
-        idx_ref = refs[2 * n_scales]
-        ob_ref, op_ref = refs[2 * n_scales + 1 :]
-        idx = idx_ref[0, 0]  # (K,) i32
-        g = jnp.zeros((k, d + 10), jnp.float32)
+        raw_refs = refs[: len(meta)]
+        idx_ref = refs[len(meta)]
+        ob_ref, op_ref = refs[len(meta) + 1 :]
+        idx = idx_ref[0, 0]  # (K,) i32 — flat (scale, cell, anchor) index
+        idx_f = idx.astype(jnp.float32)
+
+        # Per-candidate metadata, piecewise over scales (exact f32 int math),
+        # and one one-hot cell dot per scale.
         off = 0
-        for rref, cref, ns in zip(raw_refs, const_refs, sizes):
-            local = idx - off
-            iota = jax.lax.broadcasted_iota(jnp.int32, (k, ns), 1)
-            onehot = (iota == local[:, None]).astype(jnp.bfloat16)
-            merged = jnp.concatenate([rref[0], cref[...]], axis=-1)
-            g = g + jnp.dot(onehot, merged, preferred_element_type=jnp.float32)
-            off += ns
-        gc = g[:, d : d + 5] + g[:, d + 5 : d + 10]  # exact hi + lo
+        g255 = jnp.zeros((k, lanes), jnp.float32)
+        a_f = jnp.zeros((k,), jnp.float32)
+        gx = jnp.zeros((k,), jnp.float32)
+        gy = jnp.zeros((k,), jnp.float32)
+        stride_v = jnp.zeros((k,), jnp.float32)
+        aw = jnp.zeros((k,), jnp.float32)
+        ah = jnp.zeros((k,), jnp.float32)
+        for sidx, (cells, width, stride, anchors) in enumerate(meta):
+            n_s = cells * na
+            local_i = idx - off
+            in_s = (local_i >= 0) & (local_i < n_s)
+            local = jnp.where(in_s, local_i, 0).astype(jnp.float32)
+            cell_f, a_s = _exact_divmod(local, na)
+            gy_s, gx_s = _exact_divmod(cell_f, width)
+            a_f = jnp.where(in_s, a_s, a_f)
+            gx = jnp.where(in_s, gx_s, gx)
+            gy = jnp.where(in_s, gy_s, gy)
+            stride_v = jnp.where(in_s, float(stride), stride_v)
+            aw_s = jnp.zeros((k,), jnp.float32)
+            ah_s = jnp.zeros((k,), jnp.float32)
+            for ai, (w_a, h_a) in enumerate(anchors):
+                hit = a_s == float(ai)
+                aw_s = jnp.where(hit, float(w_a), aw_s)
+                ah_s = jnp.where(hit, float(h_a), ah_s)
+            aw = jnp.where(in_s, aw_s, aw)
+            ah = jnp.where(in_s, ah_s, ah)
+            # One-hot over CELLS of this scale (zero rows when off-scale).
+            cell_i = jnp.where(in_s, cell_f.astype(jnp.int32), -1)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (k, cells), 1)
+            onehot = (iota == cell_i[:, None]).astype(jnp.bfloat16)
+            g255 = g255 + jnp.dot(
+                onehot, raw_refs[sidx][0], preferred_element_type=jnp.float32
+            )
+            off += n_s
+
+        # Select the winning anchor's (5+C) lane group with static slices.
+        # Disjoint 0/1 f32 masks (exact: 1*x == x, sums have one nonzero
+        # term); boolean minor-dim inserts are unsupported in Mosaic.
+        g = jnp.zeros((k, d), jnp.float32)
+        for ai in range(na):
+            hit = (a_f == float(ai)).astype(jnp.float32)[:, None]
+            g = g + hit * g255[:, ai * d : (ai + 1) * d]
+
         # Identical float ops, in identical order, to the XLA late decode.
         xy = jax.nn.sigmoid(g[:, 0:2])
         wh = jnp.exp(g[:, 2:4])
-        center = (xy + gc[:, 0:2]) * gc[:, 4:5]
-        half = 0.5 * (wh * gc[:, 2:4])
+        grid = jnp.stack([gx, gy], axis=-1)
+        anch = jnp.stack([aw, ah], axis=-1)
+        center = (xy + grid) * stride_v[:, None]
+        half = 0.5 * (wh * anch)
         ob_ref[0] = jnp.concatenate([center - half, center + half], axis=-1)
         obj = jax.nn.sigmoid(g[:, 4:5])
         op_ref[0] = obj * jax.nn.sigmoid(g[:, 5:d])
@@ -106,41 +146,39 @@ def _make_kernel(sizes, k, d, cc):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
 def gather_decode_pairs(
     raws: Sequence[jnp.ndarray],
-    const_hilo: Sequence[jnp.ndarray],
     a_idx: jnp.ndarray,
+    meta: Tuple[Tuple[int, int, int, Tuple[Tuple[float, float], ...]], ...],
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused per-scale gather -> late decode -> (boxes, pair scores).
 
     Args:
-      raws: per-scale raw head tensors, each (B, Ni, 5+C), any float dtype
-        (bf16 on the hot path).
-      const_hilo: per-scale (Ni, 10) bf16 hi/lo decode constants
-        (``const_hilo_np``).
+      raws: per-scale raw head tensors in CELL layout, each
+        (B, h*w, na*(5+C)), any float dtype (bf16 on the hot path), deepest
+        scale first — exactly ``conv_out.reshape(B, h*w, -1)``.
       a_idx: (B, K) int32 stage-1 winner indices into the concatenated
-        (deepest-first) anchor ordering.
+        (scale, row, col, anchor) ordering, deepest scale first.
+      meta: static per-scale config ``(cells, width, stride, anchors)``
+        where ``anchors`` is a tuple of (w, h) floats.
 
     Returns:
       boxes  (B, K, 4) float32 decoded corner boxes,
       pairs  (B, K, C) float32 obj*cls scores.
     """
     b = raws[0].shape[0]
-    d = raws[0].shape[-1]
-    c = d - 5
+    na = len(meta[0][3])
+    c = raws[0].shape[-1] // na - 5
     k = a_idx.shape[-1]
-    sizes = tuple(r.shape[1] for r in raws)
-    kernel = _make_kernel(sizes, k, d, c)
+    kernel = _make_kernel(meta, k, c)
 
     in_specs = [
-        pl.BlockSpec((1, ns, d), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM)
-        for ns in sizes
-    ]
-    in_specs += [
-        pl.BlockSpec((ns, 10), lambda ii: (0, 0), memory_space=pltpu.VMEM)
-        for ns in sizes
+        pl.BlockSpec(
+            (1, m[0], na * (5 + c)), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM
+        )
+        for m in meta
     ]
     in_specs += [
         pl.BlockSpec((1, 1, k), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM)
@@ -158,11 +196,11 @@ def gather_decode_pairs(
             jax.ShapeDtypeStruct((b, k, c), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * k * sum(sizes) * (d + 10),
+            flops=2 * b * k * sum(m[0] for m in meta) * na * (5 + c),
             bytes_accessed=sum(r.size * r.dtype.itemsize for r in raws)
             + b * k * (4 + c) * 4,
             transcendentals=b * k * (c + 3),
         ),
         interpret=interpret,
-    )(*raws, *const_hilo, a_idx.reshape(b, 1, k))
+    )(*raws, a_idx.reshape(b, 1, k))
     return boxes, pairs
