@@ -105,6 +105,30 @@ def test_fused_late_decode_matches_xla_chain():
     np.testing.assert_array_equal(np.asarray(bx_p), np.asarray(bx_x))
 
 
+def test_hier_stage2_certificate_fallback():
+    """Adversarial ties: a box whose m-th class score ties its best must
+    fail the certificate and fall back to the exact full-width ranking."""
+    from viddet_tpu.ops.nms import _stage2_and_nms, _stage2_hier_and_nms
+    from viddet_tpu.ops.nms_gather_pallas import _extract_top_m
+
+    rng = np.random.default_rng(7)
+    b, k, c, m = 1, 40, 20, 9
+    pairs = rng.uniform(0.01, 0.2, size=(b, k, c)).astype(np.float32)
+    pairs[0, 3, :] = 0.9  # 20 tied top scores in one box
+    pairs = jnp.asarray(pairs)
+    boxes = jnp.asarray(
+        rng.uniform(0, 100, size=(b, k, 2, 2)).astype(np.float32)
+    )
+    boxes = jnp.concatenate([boxes.min(2), boxes.max(2) + 5.0], axis=-1)
+
+    v_m, i_m = jax.vmap(lambda p: _extract_top_m(p, m))(pairs)
+    kw = (0.45, 0.01, 40, 10, "xla")
+    want = _stage2_and_nms(boxes, pairs, *kw)
+    got = _stage2_hier_and_nms(boxes, pairs, v_m, i_m, *kw)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_forward_and_postprocess_backend_parity():
     """Whole-model check: pallas_interpret (fused path) == xla backend."""
     from viddet_tpu.models.yolo3 import NMSConfig, YOLOv3, forward_and_postprocess

@@ -157,12 +157,30 @@ class YOLOv3Head(nn.Module):
         # (B, N, C) class logits are only ever reduced/gathered by the
         # two-stage NMS (ops/nms.py) or upcast per-term by the loss, so a
         # float32 materialization here would cost pure HBM bandwidth.
-        # cls_max (the per-anchor best class logit, feeding the NMS's first
-        # top-k) is reduced PER SCALE right after each output conv so it
-        # fuses with the conv's consumer chain instead of re-reading the
-        # concatenated tensor later.
+        # cls_max / obj (feeding the NMS's stage-1 top-k) are reduced /
+        # sliced PER SCALE from the CELL layout right after each output
+        # conv, so they fuse with the conv's epilogue and the fused-NMS
+        # path never materializes the (B, h*w*na, 5+C) anchor-split
+        # reshape.  Lane group [a*(5+C), (a+1)*(5+C)) is anchor a; the
+        # stack axis keeps the (cell, anchor) flattening order.
+        def _per_anchor(rc, fn):
+            na_rc = rc.shape[-1] // num_pred
+            return jnp.stack(
+                [fn(rc, a * num_pred) for a in range(na_rc)], axis=-1
+            ).reshape(rc.shape[0], -1)
+
         cls_max = jnp.concatenate(
-            [jnp.max(r[..., 5:], axis=-1) for r in raws], axis=1
+            [
+                _per_anchor(
+                    rc, lambda r, o: jnp.max(r[..., o + 5 : o + num_pred], axis=-1)
+                )
+                for rc in raws_cells
+            ],
+            axis=1,
+        )  # (B, N), compute dtype
+        obj_logit = jnp.concatenate(
+            [_per_anchor(rc, lambda r, o: r[..., o + 4]) for rc in raws_cells],
+            axis=1,
         )  # (B, N), compute dtype
         grid_xy = jnp.concatenate([c[0] for c in consts], axis=0)
         anchor_wh = jnp.concatenate([c[1] for c in consts], axis=0)
@@ -199,7 +217,7 @@ class YOLOv3Head(nn.Module):
             # flat objectness logits for the fused gather-decode NMS path;
             # unused consumers are dead-code eliminated under jit.
             "raws_cells": tuple(raws_cells),
-            "obj_logit": jnp.concatenate([r[..., 4] for r in raws], axis=1),
+            "obj_logit": obj_logit,
         }
 
 

@@ -69,11 +69,36 @@ def _exact_divmod(n_f: jnp.ndarray, d: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, n_f - q * float(d)
 
 
-def _make_kernel(meta, k, c):
+def _extract_top_m(pairs, m):
+    """Per-row top-m values + col indices via m argmax-extract steps.
+
+    Runs on data already in registers/VMEM (the XLA equivalent costs ~1 ms
+    of HBM re-reads at batch 128).  Exact: each step removes exactly one
+    (lowest-index) occurrence of the current max, so tied values survive
+    into later steps and the extracted multiset equals lax.top_k's.
+    """
+    k, c = pairs.shape
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (k, c), 1)
+    cur = pairs
+    vals, idxs = [], []
+    for _ in range(m):
+        mx = jnp.max(cur, axis=-1)
+        im = jnp.min(
+            jnp.where(cur == mx[:, None], iota_c, c), axis=-1
+        )  # first-match col
+        vals.append(mx)
+        idxs.append(im)
+        cur = jnp.where(iota_c == im[:, None], -1.0, cur)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)  # (k, m) each
+
+
+def _make_kernel(meta, k, c, extract_m):
     """Kernel over one image.
 
     meta: static per-scale tuples (cells, width, stride, anchors) with
     anchors = ((w, h), ...) python floats; deepest scale first.
+    extract_m: if > 0, also emit per-box top-m pair values/class indices
+    (fuel for the hierarchical exact stage-2 top-k).
     """
     na = len(meta[0][3])
     d = 5 + c
@@ -82,7 +107,10 @@ def _make_kernel(meta, k, c):
     def kernel(*refs):
         raw_refs = refs[: len(meta)]
         idx_ref = refs[len(meta)]
-        ob_ref, op_ref = refs[len(meta) + 1 :]
+        if extract_m:
+            ob_ref, op_ref, vm_ref, im_ref = refs[len(meta) + 1 :]
+        else:
+            ob_ref, op_ref = refs[len(meta) + 1 :]
         idx = idx_ref[0, 0]  # (K,) i32 — flat (scale, cell, anchor) index
         idx_f = idx.astype(jnp.float32)
 
@@ -116,11 +144,20 @@ def _make_kernel(meta, k, c):
             aw = jnp.where(in_s, aw_s, aw)
             ah = jnp.where(in_s, ah_s, ah)
             # One-hot over CELLS of this scale (zero rows when off-scale).
+            # Match the raw dtype: a bf16 one-hot against an f32 operand
+            # makes compiled Mosaic demote the f32 side to bf16 (interpret
+            # mode promotes instead) — f32 inputs must use an f32 one-hot.
             cell_i = jnp.where(in_s, cell_f.astype(jnp.int32), -1)
             iota = jax.lax.broadcasted_iota(jnp.int32, (k, cells), 1)
-            onehot = (iota == cell_i[:, None]).astype(jnp.bfloat16)
+            onehot = (iota == cell_i[:, None]).astype(raw_refs[sidx].dtype)
             g255 = g255 + jnp.dot(
-                onehot, raw_refs[sidx][0], preferred_element_type=jnp.float32
+                onehot,
+                raw_refs[sidx][0],
+                preferred_element_type=jnp.float32,
+                # HIGHEST: bf16 inputs are unaffected (1.0*x exact already);
+                # f32 inputs would otherwise be truncated to one bf16 pass
+                # by the TPU default matmul precision.
+                precision=jax.lax.Precision.HIGHEST,
             )
             off += n_s
 
@@ -141,18 +178,26 @@ def _make_kernel(meta, k, c):
         half = 0.5 * (wh * anch)
         ob_ref[0] = jnp.concatenate([center - half, center + half], axis=-1)
         obj = jax.nn.sigmoid(g[:, 4:5])
-        op_ref[0] = obj * jax.nn.sigmoid(g[:, 5:d])
+        pairs = obj * jax.nn.sigmoid(g[:, 5:d])
+        op_ref[0] = pairs
+        if extract_m:
+            v_m, i_m = _extract_top_m(pairs, extract_m)
+            vm_ref[0] = v_m
+            im_ref[0] = i_m
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("meta", "extract_m", "interpret")
+)
 def gather_decode_pairs(
     raws: Sequence[jnp.ndarray],
     a_idx: jnp.ndarray,
     meta: Tuple[Tuple[int, int, int, Tuple[Tuple[float, float], ...]], ...],
+    extract_m: int = 0,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+):
     """Fused per-scale gather -> late decode -> (boxes, pair scores).
 
     Args:
@@ -166,13 +211,15 @@ def gather_decode_pairs(
 
     Returns:
       boxes  (B, K, 4) float32 decoded corner boxes,
-      pairs  (B, K, C) float32 obj*cls scores.
+      pairs  (B, K, C) float32 obj*cls scores,
+      and, when ``extract_m`` > 0, per-box top-m pair values (B, K, m)
+      float32 and class indices (B, K, m) int32.
     """
     b = raws[0].shape[0]
     na = len(meta[0][3])
     c = raws[0].shape[-1] // na - 5
     k = a_idx.shape[-1]
-    kernel = _make_kernel(meta, k, c)
+    kernel = _make_kernel(meta, k, c, extract_m)
 
     in_specs = [
         pl.BlockSpec(
@@ -183,18 +230,29 @@ def gather_decode_pairs(
     in_specs += [
         pl.BlockSpec((1, 1, k), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM)
     ]
-    boxes, pairs = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, k, 4), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k, c), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, k, 4), jnp.float32),
+        jax.ShapeDtypeStruct((b, k, c), jnp.float32),
+    ]
+    if extract_m:
+        out_specs += [
+            pl.BlockSpec((1, k, extract_m), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, extract_m), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((b, k, extract_m), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, extract_m), jnp.int32),
+        ]
+    outs = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, k, 4), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, c), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, k, 4), jnp.float32),
-            jax.ShapeDtypeStruct((b, k, c), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * k * sum(m[0] for m in meta) * na * (5 + c),
             bytes_accessed=sum(r.size * r.dtype.itemsize for r in raws)
@@ -203,4 +261,4 @@ def gather_decode_pairs(
         ),
         interpret=interpret,
     )(*raws, a_idx.reshape(b, 1, k))
-    return boxes, pairs
+    return outs
