@@ -98,35 +98,53 @@ def test_fused_late_decode_matches_xla_chain():
         **kw,
     )
     ids_p, sc_p, bx_p = multiclass_nms_late_decode_fused(
-        tuple(cells), obj_logit, cls_max, meta, backend="pallas_interpret", **kw
+        tuple(cells), None, meta, backend="pallas_interpret", **kw
     )
     np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
     np.testing.assert_array_equal(np.asarray(sc_p), np.asarray(sc_x))
     np.testing.assert_array_equal(np.asarray(bx_p), np.asarray(bx_x))
 
 
-def test_hier_stage2_certificate_fallback():
-    """Adversarial ties: a box whose m-th class score ties its best must
-    fail the certificate and fall back to the exact full-width ranking."""
-    from viddet_tpu.ops.nms import _stage2_and_nms, _stage2_hier_and_nms
-    from viddet_tpu.ops.nms_gather_pallas import _extract_top_m
-
+def test_hier_pigeonhole_adversarial_hot_box():
+    """Adversarial case: one box whose classes ALL rank in the global
+    top-k.  The pigeonhole repair set must supply the classes beyond the
+    per-box top-(m-1), so the selected score multiset matches the full
+    ranking exactly (individual ids may tie-swap)."""
     rng = np.random.default_rng(7)
-    b, k, c, m = 1, 40, 20, 9
-    pairs = rng.uniform(0.01, 0.2, size=(b, k, c)).astype(np.float32)
-    pairs[0, 3, :] = 0.9  # 20 tied top scores in one box
-    pairs = jnp.asarray(pairs)
-    boxes = jnp.asarray(
-        rng.uniform(0, 100, size=(b, k, 2, 2)).astype(np.float32)
-    )
-    boxes = jnp.concatenate([boxes.min(2), boxes.max(2) + 5.0], axis=-1)
+    b, img, c = 1, 64, 20
+    cells, meta, consts, flat = _make_scales(rng, b, img, c)
+    # One cell's first anchor: huge objectness, all classes equal and huge.
+    hot = np.array(cells[0], copy=True)
+    hot[0, 1, 0 : 5 + c] = 0.0
+    hot[0, 1, 4] = 8.0  # obj
+    hot[0, 1, 5 : 5 + c] = 6.0  # 20 tied strong classes
+    cells[0] = jnp.asarray(hot)
+    flat0 = cells[0].reshape(b, -1, 5 + c)
+    flat = [flat0] + flat[1:]
 
-    v_m, i_m = jax.vmap(lambda p: _extract_top_m(p, m))(pairs)
-    kw = (0.45, 0.01, 40, 10, "xla")
-    want = _stage2_and_nms(boxes, pairs, *kw)
-    got = _stage2_hier_and_nms(boxes, pairs, v_m, i_m, *kw)
-    for w, g in zip(want, got):
-        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    raw = jnp.concatenate(flat, axis=1)
+    cls_max = jnp.max(raw[..., 5:], axis=-1)
+    cj = jnp.asarray(consts)
+    kw = dict(iou_thresh=0.45, valid_thresh=0.01, topk=40, post_nms=30)
+
+    _, sc_x, _ = multiclass_nms_late_decode(
+        raw[..., 0:2].astype(jnp.float32),
+        raw[..., 2:4].astype(jnp.float32),
+        raw[..., 4:5],
+        raw[..., 5:],
+        cls_max,
+        cj[:, 0:2],
+        cj[:, 2:4],
+        cj[:, 4:5],
+        backend="xla",
+        **kw,
+    )
+    _, sc_p, _ = multiclass_nms_late_decode_fused(
+        tuple(cells), None, meta, backend="pallas_interpret", **kw
+    )
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(sc_p), axis=1), np.sort(np.asarray(sc_x), axis=1)
+    )
 
 
 def test_forward_and_postprocess_backend_parity():

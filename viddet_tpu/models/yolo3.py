@@ -347,8 +347,7 @@ def forward_and_postprocess(module: YOLOv3, variables, images, nms: NMSConfig = 
         )
         return multiclass_nms_late_decode_fused(
             outputs["raws_cells"],
-            outputs["obj_logit"],
-            outputs["cls_max"],
+            None,  # anchor scores via the Pallas score kernel
             meta,
             iou_thresh=nms.iou_thresh,
             valid_thresh=nms.valid_thresh,

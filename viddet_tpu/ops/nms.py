@@ -159,20 +159,6 @@ def _pair_top_k(pair_scores: jnp.ndarray, k: int, backend: str):
     return jax.lax.top_k(pair_scores, k)
 
 
-def _set_top_k(x: jnp.ndarray, k: int, backend: str):
-    """Top-k where only the selected SET matters, not its order.
-
-    Stage-1 anchor selection and the hierarchical repair's hot-box pick
-    feed gathers whose downstream ranking re-sorts globally, so the TPU
-    PartialReduce path (exact values, tie-selection may differ from
-    ``lax.top_k``'s stable order) is safe and ~3x faster than the variadic
-    sort at these widths.
-    """
-    if backend == "pallas":
-        return jax.lax.approx_max_k(x, k, recall_target=1.0)
-    return jax.lax.top_k(x, k)
-
-
 def _nms_on_candidates(cand_boxes, top_scores, cls_idx, valid, iou_thresh, post_nms, backend):
     """Shared tail: class-offset -> greedy keep -> compact (batched)."""
     offset_boxes = jax.vmap(_class_offset)(cand_boxes, cls_idx)
@@ -330,8 +316,7 @@ def _stage2_and_nms(
 )
 def multiclass_nms_late_decode_fused(
     raws_cells: Tuple[jnp.ndarray, ...],
-    obj_logits: jnp.ndarray,
-    cls_max_logits: jnp.ndarray,
+    anchor_score: jnp.ndarray | None,
     meta,
     *,
     iou_thresh: float = 0.45,
@@ -353,35 +338,41 @@ def multiclass_nms_late_decode_fused(
     Args:
       raws_cells: per-scale (B, h*w, na*(5+C)) raw head outputs (the output
         conv's natural layout, h/w merged), deepest scale first.
-      obj_logits / cls_max_logits: (B, N) per-anchor objectness / max class
-        logit, concatenated in the same (scale, row, col, anchor) order
-        (computed per scale so they fuse with the output convs).
+      anchor_score: optional precomputed (B, N) stage-1 scores; None builds
+        them with the Pallas ``anchor_scores`` kernel (one read of the head
+        tensors instead of the XLA reduce/concat chain).
       meta: static per-scale ``(cells, width, stride, anchors)`` tuples.
     """
     from viddet_tpu.ops.nms_gather_pallas import gather_decode_pairs
 
-    b, n = cls_max_logits.shape
+    na0 = len(meta[0][3])
+    n = sum(mm[0] for mm in meta) * na0
     k = min(topk, n)
 
-    obj = jax.nn.sigmoid(obj_logits.astype(jnp.float32))
-    anchor_score = obj * jax.nn.sigmoid(cls_max_logits.astype(jnp.float32))
-    _, a_idx = _set_top_k(anchor_score, k, backend)  # (B, k) — set semantics
+    interp = backend == "pallas_interpret"
+    if anchor_score is None:
+        from viddet_tpu.ops.nms_gather_pallas import anchor_scores
+
+        anchor_score = anchor_scores(tuple(raws_cells), meta, interpret=interp)
+    _, a_idx = jax.lax.top_k(anchor_score, k)  # (B, k)
 
     na = len(meta[0][3])
     c = raws_cells[0].shape[-1] // na - 5
     m = 9
+    j = min((topk - 1) // m + 1, k)
     use_hier = c > m + 1 and k * (m - 1) >= topk
     outs = gather_decode_pairs(
         tuple(raws_cells),
         a_idx,
         meta,
         extract_m=m if use_hier else 0,
-        interpret=(backend == "pallas_interpret"),
+        hot_j=j if use_hier else 0,
+        interpret=interp,
     )
     if use_hier:
-        boxes_k, pair_scores, v_m, i_m = outs
+        boxes_k, v_m, i_m, hot_flat, hot_idx = outs
         return _stage2_hier_and_nms(
-            boxes_k, pair_scores, v_m, i_m,
+            boxes_k, v_m, i_m, hot_flat, hot_idx,
             iou_thresh, valid_thresh, topk, post_nms, backend,
         )
     boxes_k, pair_scores = outs
@@ -391,7 +382,7 @@ def multiclass_nms_late_decode_fused(
 
 
 def _stage2_hier_and_nms(
-    boxes_k, pairs, v_m, i_m, iou_thresh, valid_thresh, topk, post_nms, backend
+    boxes_k, v_m, i_m, hot_flat, hot_idx, iou_thresh, valid_thresh, topk, post_nms, backend
 ):
     """Hierarchical EXACT stage-2 ranking — branchless pigeonhole repair.
 
@@ -413,34 +404,21 @@ def _stage2_hier_and_nms(
     with in-set candidates of the same score — the same tie-resolution
     latitude as ``_pair_top_k`` already documents.
     """
-    b, k, c = pairs.shape
-    m = v_m.shape[-1]
+    b, k, m = v_m.shape
+    c = hot_flat.shape[-1]
+    j = hot_flat.shape[1]
     width = k * (m - 1)
     cand = v_m[..., : m - 1].reshape(b, width)
     cid = i_m[..., : m - 1].reshape(b, width)
 
-    # Pigeonhole repair set: full rows of the top-J boxes by m-th value.
-    j = min((topk - 1) // m + 1, k)
-    ninth = v_m[..., m - 1]  # (b, k)
-    _, hot_idx = _set_top_k(ninth, j, backend)  # (b, J) box indices
-    hot_rows = jnp.take_along_axis(pairs, hot_idx[..., None], axis=1)
-    # Null out the classes already present in the per-box candidate set so
-    # no pair is counted twice.
-    hot_cls = jnp.take_along_axis(
-        i_m[..., : m - 1], hot_idx[..., None], axis=1
-    )  # (b, J, m-1)
-    class_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c, 1), 2)
-    dup = jnp.any(class_iota == hot_cls[:, :, None, :], axis=-1)  # (b, J, c)
-    hot_flat = jnp.where(dup, -1.0, hot_rows).reshape(b, j * c)
-
-    merged = jnp.concatenate([cand, hot_flat], axis=1)  # (b, width + J*c)
+    merged = jnp.concatenate([cand, hot_flat.reshape(b, j * c)], axis=1)
     top_scores, q = _pair_top_k(merged, topk, backend)
 
     from_cand = q < width
     box1 = q // (m - 1)
     cls1 = jnp.take_along_axis(cid, jnp.minimum(q, width - 1), axis=1)
     e = jnp.maximum(q - width, 0)
-    box2 = jnp.take_along_axis(hot_idx, e // c, axis=1)
+    box2 = jnp.take_along_axis(hot_idx[:, 0], e // c, axis=1)
     cls2 = e % c
     box_sel = jnp.where(from_cand, box1, box2)
     cls_idx = jnp.where(from_cand, cls1, cls2).astype(jnp.float32)

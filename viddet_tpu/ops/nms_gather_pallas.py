@@ -92,12 +92,13 @@ def _extract_top_m(pairs, m):
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)  # (k, m) each
 
 
-def _make_kernel(meta, k, c, extract_m):
+def _make_kernel(meta, k, c, extract_m, hot_j):
     """Kernel over one image.
 
     meta: static per-scale tuples (cells, width, stride, anchors) with
     anchors = ((w, h), ...) python floats; deepest scale first.
-    extract_m: if > 0, also emit per-box top-m pair values/class indices
+    extract_m: if > 0, emit per-box top-m pair values/class indices plus
+    the hot_j-box pigeonhole repair set instead of the dense pair tensor
     (fuel for the hierarchical exact stage-2 top-k).
     """
     na = len(meta[0][3])
@@ -108,7 +109,7 @@ def _make_kernel(meta, k, c, extract_m):
         raw_refs = refs[: len(meta)]
         idx_ref = refs[len(meta)]
         if extract_m:
-            ob_ref, op_ref, vm_ref, im_ref = refs[len(meta) + 1 :]
+            ob_ref, vm_ref, im_ref, hf_ref, hi_ref = refs[len(meta) + 1 :]
         else:
             ob_ref, op_ref = refs[len(meta) + 1 :]
         idx = idx_ref[0, 0]  # (K,) i32 — flat (scale, cell, anchor) index
@@ -150,14 +151,20 @@ def _make_kernel(meta, k, c, extract_m):
             cell_i = jnp.where(in_s, cell_f.astype(jnp.int32), -1)
             iota = jax.lax.broadcasted_iota(jnp.int32, (k, cells), 1)
             onehot = (iota == cell_i[:, None]).astype(raw_refs[sidx].dtype)
+            # bf16 inputs: 1.0*x is exact at default precision (and Mosaic
+            # rejects an fp32-precision matmul with bf16 operands).  f32
+            # inputs NEED Precision.HIGHEST or the TPU default truncates
+            # them to one bf16 pass.
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if raw_refs[sidx].dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            )
             g255 = g255 + jnp.dot(
                 onehot,
                 raw_refs[sidx][0],
                 preferred_element_type=jnp.float32,
-                # HIGHEST: bf16 inputs are unaffected (1.0*x exact already);
-                # f32 inputs would otherwise be truncated to one bf16 pass
-                # by the TPU default matmul precision.
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )
             off += n_s
 
@@ -179,23 +186,136 @@ def _make_kernel(meta, k, c, extract_m):
         ob_ref[0] = jnp.concatenate([center - half, center + half], axis=-1)
         obj = jax.nn.sigmoid(g[:, 4:5])
         pairs = obj * jax.nn.sigmoid(g[:, 5:d])
-        op_ref[0] = pairs
-        if extract_m:
-            v_m, i_m = _extract_top_m(pairs, extract_m)
-            vm_ref[0] = v_m
-            im_ref[0] = i_m
+        if not extract_m:
+            op_ref[0] = pairs
+            return
+        m = extract_m
+        v_m, i_m = _extract_top_m(pairs, m)
+        vm_ref[0] = v_m
+        im_ref[0] = i_m
+
+        # Pigeonhole repair set, selected in-kernel (the XLA equivalents —
+        # a 400-wide top-k plus three small gathers — cost ~1.3 ms/batch128
+        # on the serial critical path).  hot_j extraction steps over the
+        # m-th-ranked values pick the hot boxes; their full class rows are
+        # gathered with an exact one-hot contraction and the classes
+        # already present in the candidate set are nulled out.
+        ninth = v_m[:, m - 1 : m]  # (k, 1)
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+        oh_cols = []
+        hot_ids = []
+        cur = ninth
+        for _ in range(hot_j):
+            mx = jnp.max(cur, axis=0, keepdims=True)  # (1, 1)
+            sel = jnp.min(
+                jnp.where(cur == mx, iota_k, k), axis=0, keepdims=True
+            )  # (1, 1) first-match row
+            hit = iota_k == sel
+            oh_cols.append(hit.astype(jnp.float32))
+            hot_ids.append(sel)
+            cur = jnp.where(hit, -1.0, cur)
+        oh_t = jnp.concatenate(oh_cols, axis=1)  # (k, hot_j) one-hot columns
+        contract0 = (((0,), (0,)), ((), ()))
+        hot_vals = jax.lax.dot_general(
+            oh_t,
+            pairs,
+            contract0,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (hot_j, C) — exact 1.0 * f32 products
+        hot_cls = jax.lax.dot_general(
+            oh_t,
+            i_m[:, : m - 1].astype(jnp.float32),
+            contract0,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (hot_j, m-1) — exact small ints
+        iota_c2 = jax.lax.broadcasted_iota(jnp.int32, (hot_j, c), 1)
+        dup = iota_c2 < 0
+        for t in range(m - 1):
+            dup = dup | (iota_c2 == hot_cls[:, t : t + 1].astype(jnp.int32))
+        hf_ref[0] = jnp.where(dup, -1.0, hot_vals)
+        hi_ref[0] = jnp.concatenate(hot_ids, axis=1)  # (1, hot_j)
 
     return kernel
 
 
+def _score_kernel(meta, num_pred):
+    """Per-image anchor scores straight from the cell-layout head tensors.
+
+    score[cell, a] = sigmoid(obj_a) * sigmoid(max_c cls_a) — one read of
+    the head output instead of the XLA reduce/slice/concat chain that
+    re-reads it several times (~2 ms/batch-128 on v5e).
+    """
+
+    def kernel(*refs):
+        raw_refs = refs[: len(meta)]
+        out_refs = refs[len(meta) :]
+        for rref, oref, (cells, _, _, anchors) in zip(raw_refs, out_refs, meta):
+            cols = []
+            for a in range(len(anchors)):
+                o = a * num_pred
+                obj = rref[0, :, o + 4 : o + 5].astype(jnp.float32)  # (cells,1)
+                clsm = jnp.max(
+                    rref[0, :, o + 5 : o + num_pred], axis=-1, keepdims=True
+                ).astype(jnp.float32)
+                cols.append(jax.nn.sigmoid(obj) * jax.nn.sigmoid(clsm))
+            oref[0] = jnp.concatenate(cols, axis=-1)  # (cells, na)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+def anchor_scores(
+    raws: Sequence[jnp.ndarray],
+    meta,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, N) float32 stage-1 anchor scores from cell-layout head tensors.
+
+    Bit-identical to ``sigmoid(obj) * sigmoid(max cls)`` computed via the
+    XLA reduce/concat chain (same ops on the same upcast values).
+    """
+    b = raws[0].shape[0]
+    na = len(meta[0][3])
+    num_pred = raws[0].shape[-1] // na
+    outs = pl.pallas_call(
+        _score_kernel(meta, num_pred),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, m[0], na * num_pred),
+                lambda ii: (ii, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for m in meta
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, m[0], na), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM)
+            for m in meta
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((b, m[0], na), jnp.float32) for m in meta
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=sum(r.size for r in raws),
+            bytes_accessed=sum(r.size * r.dtype.itemsize for r in raws),
+            transcendentals=2 * b * na * sum(m[0] for m in meta),
+        ),
+        interpret=interpret,
+    )(*raws)
+    return jnp.concatenate([o.reshape(b, -1) for o in outs], axis=1)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("meta", "extract_m", "interpret")
+    jax.jit, static_argnames=("meta", "extract_m", "hot_j", "interpret")
 )
 def gather_decode_pairs(
     raws: Sequence[jnp.ndarray],
     a_idx: jnp.ndarray,
     meta: Tuple[Tuple[int, int, int, Tuple[Tuple[float, float], ...]], ...],
     extract_m: int = 0,
+    hot_j: int = 0,
     interpret: bool = False,
 ):
     """Fused per-scale gather -> late decode -> (boxes, pair scores).
@@ -210,16 +330,16 @@ def gather_decode_pairs(
         where ``anchors`` is a tuple of (w, h) floats.
 
     Returns:
-      boxes  (B, K, 4) float32 decoded corner boxes,
-      pairs  (B, K, C) float32 obj*cls scores,
-      and, when ``extract_m`` > 0, per-box top-m pair values (B, K, m)
-      float32 and class indices (B, K, m) int32.
+      With ``extract_m`` == 0: (boxes (B,K,4) f32, pairs (B,K,C) f32).
+      With ``extract_m``  > 0: (boxes, v_m (B,K,m) f32, i_m (B,K,m) i32,
+      hot_flat (B,J,C) f32, hot_idx (B,1,J) i32) where J = hot_j — the
+      hierarchical stage-2 inputs (see ``_stage2_hier_and_nms``).
     """
     b = raws[0].shape[0]
     na = len(meta[0][3])
     c = raws[0].shape[-1] // na - 5
     k = a_idx.shape[-1]
-    kernel = _make_kernel(meta, k, c, extract_m)
+    kernel = _make_kernel(meta, k, c, extract_m, hot_j)
 
     in_specs = [
         pl.BlockSpec(
@@ -232,20 +352,29 @@ def gather_decode_pairs(
     ]
     out_specs = [
         pl.BlockSpec((1, k, 4), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, k, c), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((b, k, 4), jnp.float32),
-        jax.ShapeDtypeStruct((b, k, c), jnp.float32),
     ]
     if extract_m:
         out_specs += [
             pl.BlockSpec((1, k, extract_m), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, extract_m), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hot_j, c), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hot_j), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
         ]
         out_shape += [
             jax.ShapeDtypeStruct((b, k, extract_m), jnp.float32),
             jax.ShapeDtypeStruct((b, k, extract_m), jnp.int32),
+            jax.ShapeDtypeStruct((b, hot_j, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, hot_j), jnp.int32),
+        ]
+    else:
+        out_specs += [
+            pl.BlockSpec((1, k, c), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((b, k, c), jnp.float32),
         ]
     outs = pl.pallas_call(
         kernel,
