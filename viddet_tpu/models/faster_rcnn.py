@@ -57,13 +57,21 @@ class FRCNNConfig:
     roi_pos_iou: float = 0.5
     nms_backend: str = "auto"
     # ROIAlign backend: "xla" (packed-gather, ops/roi_align.py) or "pallas"
-    # (window-DMA MXU kernel, ops/roi_align_pallas.py).  Default stays xla
-    # until the TPU bench proves the kernel ahead (tools/frcnn_bench.py).
-    roi_backend: str = "xla"
+    # (window-DMA MXU kernel, ops/roi_align_pallas.py — 220 -> 377 fps at
+    # FRCNN-512 batch 8 on v5e, tools/frcnn_bench.py).  "auto" picks the
+    # kernel on real accelerators and the jnp path on CPU.
+    roi_backend: str = "auto"
 
     def resolved_backend(self) -> str:
         if self.nms_backend != "auto":
             return self.nms_backend
+        from viddet_tpu.core.platform import default_nms_backend
+
+        return default_nms_backend()
+
+    def resolved_roi_backend(self) -> str:
+        if self.roi_backend != "auto":
+            return self.roi_backend
         from viddet_tpu.core.platform import default_nms_backend
 
         return default_nms_backend()
@@ -245,7 +253,7 @@ class FasterRCNN(nn.Module):
         # kernel (pallas)
         feats = multilevel_roi_align_auto(
             [p for p in pyramid[:4]], rois, strides=FPN_STRIDES[:4],
-            output_size=7, k_min=2, backend=self.config.roi_backend,
+            output_size=7, k_min=2, backend=self.config.resolved_roi_backend(),
         )  # (B, R, 7, 7, C)
         x = feats.reshape(b * r, -1).astype(self.policy.compute_dtype)
         x = nn.relu(nn.Dense(1024, name="fc1", **conv_kw)(x))

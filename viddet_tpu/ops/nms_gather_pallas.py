@@ -240,6 +240,108 @@ def _make_kernel(meta, k, c, extract_m, hot_j):
     return kernel
 
 
+def _finalize_kernel(k, m, c, j, topk):
+    """Map merged-ranking winners back to (class id, candidate box).
+
+    The XLA equivalents — three small ``take_along_axis`` gathers on the
+    serial tail — cost ~1.2 ms/batch-128 on v5e; here each gather is an
+    exact one-hot contraction on the otherwise-idle MXU.
+    """
+    width = k * (m - 1)
+
+    def kernel(im_ref, hi_ref, q_ref, bk_ref, cls_ref, cb_ref):
+        q = q_ref[0, 0]  # (topk,) i32 indices into [cand | hot_flat]
+        q_f = q.astype(jnp.float32)
+        in_cand = (q < width).astype(jnp.float32)
+
+        # Candidate-set entries: box = q // (m-1), class = i_m[box, q % (m-1)].
+        box1_f, r_f = _exact_divmod(jnp.minimum(q_f, float(width - 1)), m - 1)
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (topk, k), 1)
+        oh_box1 = (iota_k == box1_f.astype(jnp.int32)[:, None]).astype(
+            jnp.float32
+        )
+        rows = jax.lax.dot_general(
+            oh_box1,
+            im_ref[0, :, : m - 1].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (topk, m-1) — candidate boxes' top-(m-1) class ids, reordered
+        cls1 = jnp.zeros((topk,), jnp.float32)
+        for t in range(m - 1):
+            cls1 = jnp.where(r_f == float(t), rows[:, t], cls1)
+
+        # Repair-set entries: e = q - width; box = hot_idx[e // C], cls = e % C.
+        e_f = jnp.maximum(q_f - float(width), 0.0)
+        hrow_f, cls2 = _exact_divmod(e_f, c)
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (topk, j), 1)
+        oh_hot = (iota_j == hrow_f.astype(jnp.int32)[:, None]).astype(
+            jnp.float32
+        )
+        box2 = jax.lax.dot_general(
+            oh_hot,
+            hi_ref[0].astype(jnp.float32),  # (1, j)
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0]
+
+        box_sel = in_cand * box1_f + (1.0 - in_cand) * box2
+        cls_ref[0, 0] = in_cand * cls1 + (1.0 - in_cand) * cls2
+
+        oh_sel = (iota_k == box_sel.astype(jnp.int32)[:, None]).astype(
+            jnp.float32
+        )
+        cb_ref[0] = jax.lax.dot_general(
+            oh_sel,
+            bk_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (topk, 4) — exact gather of candidate boxes
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes", "interpret"))
+def finalize_candidates(
+    i_m: jnp.ndarray,
+    hot_idx: jnp.ndarray,
+    q: jnp.ndarray,
+    boxes_k: jnp.ndarray,
+    num_classes: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(cls_idx (B, topk) f32, cand_boxes (B, topk, 4) f32) for the merged
+    ranking's winners ``q`` — see ``_finalize_kernel``."""
+    b, k, m = i_m.shape
+    j = hot_idx.shape[-1]
+    topk = q.shape[-1]
+    cls_idx, cand_boxes = pl.pallas_call(
+        _finalize_kernel(k, m, num_classes, j, topk),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, k, m), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, j), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, topk), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, 4), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, topk), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, topk, 4), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1, topk), jnp.float32),
+            jax.ShapeDtypeStruct((b, topk, 4), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(i_m, hot_idx, q.reshape(b, 1, topk), boxes_k)
+    return cls_idx[:, 0], cand_boxes
+
+
 def _score_kernel(meta, num_pred):
     """Per-image anchor scores straight from the cell-layout head tensors.
 
@@ -301,6 +403,9 @@ def anchor_scores(
             flops=sum(r.size for r in raws),
             bytes_accessed=sum(r.size * r.dtype.itemsize for r in raws),
             transcendentals=2 * b * na * sum(m[0] for m in meta),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
     )(*raws)
@@ -387,6 +492,11 @@ def gather_decode_pairs(
             bytes_accessed=sum(r.size * r.dtype.itemsize for r in raws)
             + b * k * (4 + c) * 4,
             transcendentals=b * k * (c + 3),
+        ),
+        # Explicit VMEM budget: hosts running with the default 16 MiB
+        # scoped-vmem limit (no LIBTPU_INIT_ARGS tuning) must still compile.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
     )(*raws, a_idx.reshape(b, 1, k))

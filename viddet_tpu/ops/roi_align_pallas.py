@@ -36,34 +36,47 @@ from jax.experimental.pallas import tpu as pltpu
 
 from viddet_tpu.ops.roi_align import fpn_roi_level
 
-WINDOW = 48  # cells per window side; see exactness note above
-N_BUF = 2    # double buffering
+WINDOW = 48    # cells per window side (rows); see exactness note above
+WINDOW_X = 56  # column window: WINDOW + 8 slack so the DMA column origin
+               # can be aligned down to the sublane tiling (Mosaic requires
+               # dynamic slice starts on the tiled row dim to be 8-aligned)
+N_BUF = 2      # double buffering
 
 
 def _kernel(p, s):
     """Returns the kernel body for output_size=p, sampling_ratio=s."""
     n = p * s
 
-    def weights(start, bin_sz, extent, origin):
-        """(P, WINDOW) f32: separable bilinear+avg weights for one axis.
+    def weights(start, bin_sz, extent, origin, win):
+        """(P, win) f32: separable bilinear+avg weights for one axis.
 
         start/bin_sz: roi start & bin size in level cells; extent: level
         size along this axis; origin: window origin (level-local cells).
         """
-        g = (jax.lax.broadcasted_iota(jnp.float32, (n, 1), 0) + 0.5) / s
-        coord = start + g * bin_sz                       # (n, 1) sample coords
-        valid = (coord > -1.0) & (coord < extent)
-        c = jnp.clip(coord, 0.0, extent - 1.0)
-        c0 = jnp.floor(c)
-        frac = c - c0
-        i0 = c0.astype(jnp.int32) - origin               # window-local cells
-        i1 = jnp.minimum(c0 + 1.0, extent - 1.0).astype(jnp.int32) - origin
-        lane = jax.lax.broadcasted_iota(jnp.int32, (n, WINDOW), 1)
-        w = jnp.where(lane == i0, 1.0 - frac, 0.0) + jnp.where(
-            lane == i1, frac, 0.0
+        # One (p, win) pass per sample offset, summed — stays at the output
+        # shape throughout (no strided slicing / sublane regroups, which
+        # Mosaic rejects).  Integer iota + cast: tpu.iota is int-only.
+        bin_i = jax.lax.broadcasted_iota(jnp.int32, (p, win), 0).astype(
+            jnp.float32
         )
-        w = jnp.where(valid, w, 0.0)
-        return w.reshape(p, s, WINDOW).mean(axis=1)      # fold bin averaging
+        lane = jax.lax.broadcasted_iota(jnp.int32, (p, win), 1)
+        acc = jnp.zeros((p, win), jnp.float32)
+        for t in range(s):
+            g = bin_i + (t + 0.5) / s
+            coord = start + g * bin_sz        # (p, win), const along lanes
+            valid = (coord > -1.0) & (coord < extent)
+            c = jnp.clip(coord, 0.0, extent - 1.0)
+            c0 = jnp.floor(c)
+            frac = c - c0
+            i0 = c0.astype(jnp.int32) - origin           # window-local cells
+            i1 = (
+                jnp.minimum(c0 + 1.0, extent - 1.0).astype(jnp.int32) - origin
+            )
+            w = jnp.where(lane == i0, 1.0 - frac, 0.0) + jnp.where(
+                lane == i1, frac, 0.0
+            )
+            acc = acc + jnp.where(valid, w, 0.0)
+        return acc * (1.0 / s)                            # (p, win)
 
     def kernel(origins_ref, params_ref, feat_ref, out_ref, scratch, sems):
         i = pl.program_id(0)
@@ -72,8 +85,10 @@ def _kernel(p, s):
         def window_dma(slot, r):
             return pltpu.make_async_copy(
                 feat_ref.at[
-                    pl.ds(origins_ref[r, 0], WINDOW),
-                    pl.ds(origins_ref[r, 1], WINDOW),
+                    pl.ds(origins_ref[2 * r], WINDOW),
+                    # The host aligns column origins to the sublane tiling;
+                    # multiple_of lets Mosaic prove it.
+                    pl.ds(pl.multiple_of(origins_ref[2 * r + 1], 8), WINDOW_X),
                     slice(None),
                 ],
                 scratch.at[slot],
@@ -90,23 +105,32 @@ def _kernel(p, s):
 
         window_dma(i % N_BUF, i).wait()
 
-        prm = params_ref[0]  # (8,) f32
-        wy = weights(prm[0], prm[2], prm[4], prm[6])     # (p, WINDOW)
-        wx = weights(prm[1], prm[3], prm[5], prm[7])
+        prm = params_ref[0, 0]  # (8,) f32
+        wy = weights(prm[0], prm[2], prm[4], prm[6], WINDOW)    # (p, W)
+        wx = weights(prm[1], prm[3], prm[5], prm[7], WINDOW_X)  # (p, Wx)
 
         c = scratch.shape[-1]
-        tile = scratch[i % N_BUF].astype(jnp.float32)    # (W, W, C)
-        # y-contraction on the MXU: (p, W) @ (W, W*C)
-        t1 = jnp.dot(
-            wy, tile.reshape(WINDOW, WINDOW * c),
+        tile = scratch[i % N_BUF].astype(jnp.float32)    # (W, Wx, C)
+        # Separable contractions on the MXU with multi-dim dot_general
+        # operands (keeps every intermediate at its natural rank — Mosaic
+        # rejects the sublane->lane reshapes a 2-D matmul formulation
+        # would need).  HIGHEST so the f32 products stay exact.
+        t1 = jax.lax.dot_general(
+            wy,
+            tile,
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(p, WINDOW, c)
-        # x-contraction: move the window-x axis to the front, then
-        # (p, W) @ (W, p*C) on the MXU
-        t1 = t1.transpose(1, 0, 2).reshape(WINDOW, p * c)
-        t2 = jnp.dot(wx, t1, preferred_element_type=jnp.float32)  # (q, p*C)
-        out = t2.reshape(p, p, c).swapaxes(0, 1)         # -> (p_y, q_x, C)
-        out_ref[0] = out.reshape(p * p, c)
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (p_y, Wx, C)
+        t2 = jax.lax.dot_general(
+            wx,
+            t1,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (p_x, p_y, C)
+        for iy in range(p):
+            out_ref[0, iy * p : (iy + 1) * p] = t2[:, iy, :]  # row-major
 
     return kernel
 
@@ -136,7 +160,9 @@ def multilevel_roi_align_pallas(
     c = pyramid[0].shape[-1]
     hs = [int(f.shape[1]) for f in pyramid]
     ws = [int(f.shape[2]) for f in pyramid]
-    wpad = max(max(ws), WINDOW)
+    # Column padding: room for the 8-aligned window origin + WINDOW_X cols,
+    # rounded up to the sublane tiling.
+    wpad = -(-(max(max(ws) + 8, WINDOW_X)) // 8) * 8
 
     # Pack: per batch element, levels stacked along rows (W padded), plus
     # WINDOW guard rows so the last level's window never reads out of bounds.
@@ -169,12 +195,15 @@ def multilevel_roi_align_pallas(
     ox = jnp.clip(
         jnp.floor(x_start).astype(jnp.int32), 0, jnp.maximum(w_l - WINDOW, 0)
     )
+    ox = (ox // 8) * 8  # Mosaic: dynamic starts on the tiled row dim
     batch_idx = (
         jax.lax.broadcasted_iota(jnp.int32, (b, r), 0).reshape(-1)
     )
+    # Flat (B*R*2,) [row, col] pairs: SMEM scalar-prefetch operands pad the
+    # minor dim of 2-D arrays to the lane width (2400x2 would become 1.2 MB).
     origins = jnp.stack(
         [batch_idx * rows_per_batch + row_off[lvl] + oy, ox], axis=1
-    )  # (B*R, 2) int32
+    ).reshape(-1)  # (B*R*2,) int32
     params = jnp.stack(
         [
             y_start, x_start, bin_h, bin_w,
@@ -190,20 +219,22 @@ def multilevel_roi_align_pallas(
             num_scalar_prefetch=1,
             grid=(b * r,),
             in_specs=[
-                pl.BlockSpec((1, 8), lambda i, o: (i, 0),
+                # (1, 1, 8) over (B*R, 1, 8): the last two block dims must
+                # equal the array dims (Mosaic divisibility rule).
+                pl.BlockSpec((1, 1, 8), lambda i, o: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, p * p, c), lambda i, o: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((N_BUF, WINDOW, WINDOW, c), packed.dtype),
+                pltpu.VMEM((N_BUF, WINDOW, WINDOW_X, c), packed.dtype),
                 pltpu.SemaphoreType.DMA((N_BUF,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b * r, p * p, c), jnp.float32),
         interpret=interpret,
-    )(origins, params, packed)
+    )(origins, params[:, None, :], packed)
     return out.reshape(b, r, p, p, c)
 
 
