@@ -113,7 +113,6 @@ def _make_kernel(meta, k, c, extract_m, hot_j):
         else:
             ob_ref, op_ref = refs[len(meta) + 1 :]
         idx = idx_ref[0, 0]  # (K,) i32 — flat (scale, cell, anchor) index
-        idx_f = idx.astype(jnp.float32)
 
         # Per-candidate metadata, piecewise over scales (exact f32 int math),
         # and one one-hot cell dot per scale.
