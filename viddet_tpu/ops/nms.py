@@ -354,7 +354,14 @@ def multiclass_nms_late_decode_fused(
         from viddet_tpu.ops.nms_gather_pallas import anchor_scores
 
         anchor_score = anchor_scores(tuple(raws_cells), meta, interpret=interp)
-    _, a_idx = jax.lax.top_k(anchor_score, k)  # (B, k)
+    # Stage-1 winners via the sort-free threshold-select kernel: exact same
+    # index SET as lax.top_k (ties included) in ascending-index order; the
+    # candidate order is immaterial because stage-2 re-ranks every
+    # (anchor, class) pair by score.  ~2x faster than the XLA sort and
+    # safe here because anchor scores are sigmoid products (>= 0).
+    from viddet_tpu.ops.topk_pallas import topk_indices_pallas
+
+    a_idx = topk_indices_pallas(anchor_score, k, interpret=interp)  # (B, k)
 
     na = len(meta[0][3])
     c = raws_cells[0].shape[-1] // na - 5
