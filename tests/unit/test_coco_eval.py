@@ -1,6 +1,7 @@
 """Hand-scored fixtures for the in-repo COCO-protocol evaluator."""
 
 import numpy as np
+import pytest
 
 from viddet_tpu.eval.coco_eval import COCOEvalBBox
 
@@ -150,3 +151,78 @@ def test_multi_image_accumulation():
         )
     s = ev.summarize()
     assert s["AP"] == 1.0 and s["AR_100"] == 1.0
+
+
+def _match_reference(ious, g_ignore, crowd, iou_thrs):
+    """Sequential scan matcher — the pycocotools evaluateImg inner loop,
+    kept as the oracle for the vectorized _greedy_match."""
+    T = len(iou_thrs)
+    D, G = ious.shape
+    dtm = -np.ones((T, D), np.int64)
+    gtm = -np.ones((T, G), np.int64)
+    for t, thr in enumerate(iou_thrs):
+        for di in range(D):
+            best = min(thr, 1 - 1e-10)
+            m = -1
+            for gi in range(G):
+                if gtm[t, gi] >= 0 and not crowd[gi]:
+                    continue
+                if m >= 0 and not g_ignore[m] and g_ignore[gi]:
+                    break
+                if ious[di, gi] < best:
+                    continue
+                best = ious[di, gi]
+                m = gi
+            if m >= 0:
+                dtm[t, di] = m
+                gtm[t, m] = di
+    return dtm
+
+
+def test_greedy_match_equals_sequential_reference():
+    from viddet_tpu.eval.coco_eval import IOU_THRS, _greedy_match
+
+    rng = np.random.default_rng(0)
+    for trial in range(200):
+        D = int(rng.integers(0, 12))
+        G = int(rng.integers(0, 10))
+        # quantized IoUs make exact ties common — the hard case
+        ious = rng.integers(0, 12, size=(D, G)).astype(np.float64) / 11.0
+        crowd = rng.random(G) < 0.25
+        ig = crowd | (rng.random(G) < 0.3)
+        order = np.argsort(ig, kind="stable")
+        ious, ig, crowd = ious[:, order], ig[order], crowd[order]
+        got = _greedy_match(ious, ig, crowd)
+        want = _match_reference(ious, ig, crowd, IOU_THRS)
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
+@pytest.mark.slow
+def test_real_coco_scale_under_60s():
+    """VERDICT r2 item 3: a val2017-shaped synthetic eval (5k images, 80
+    classes, ~7 GT + 40 detections per image) must finish in <60 s."""
+    import time
+
+    rng = np.random.default_rng(7)
+    ev = COCOEvalBBox(num_classes=80)
+    for img in range(5000):
+        G = int(rng.integers(1, 12))
+        D = 40
+        gxy = rng.uniform(0, 500, (G, 2))
+        gwh = rng.uniform(4, 140, (G, 2))
+        gt_boxes = np.concatenate([gxy, gxy + gwh], axis=1)
+        gt_classes = rng.integers(0, 80, G)
+        gt_crowd = rng.random(G) < 0.05
+        # half the detections jitter real GT, half are random noise
+        base = gt_boxes[rng.integers(0, G, D)]
+        noise = rng.normal(0, 8, (D, 4))
+        dt_boxes = np.where(rng.random((D, 1)) < 0.5, base + noise,
+                            rng.uniform(0, 600, (D, 4)))
+        dt_boxes[:, 2:] = np.maximum(dt_boxes[:, 2:], dt_boxes[:, :2] + 1)
+        ev.add_image(img, gt_boxes, gt_classes, gt_crowd,
+                     dt_boxes, rng.integers(0, 80, D), rng.random(D))
+    t0 = time.monotonic()
+    stats = ev.summarize()
+    dt = time.monotonic() - t0
+    assert dt < 60.0, f"accumulate+summarize took {dt:.1f}s"
+    assert 0.0 < stats["AP"] < 1.0

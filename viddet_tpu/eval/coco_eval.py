@@ -38,24 +38,74 @@ AREA_RNG = {
 
 
 def _iou_xyxy(dt: np.ndarray, gt: np.ndarray, crowd: np.ndarray) -> np.ndarray:
-    """IoU matrix (D, G); for crowd GT, IoU = inter / det_area."""
+    """IoU matrix (D, G); for crowd GT, IoU = inter / det_area.
+
+    Fully vectorized (float64) — identical arithmetic to the scalar
+    definition: clamped side lengths, union = D + G - I (or D for crowd),
+    0 where the union is empty.
+    """
     d, g = len(dt), len(gt)
-    out = np.zeros((d, g))
     if d == 0 or g == 0:
-        return out
-    for j in range(g):
-        gx1, gy1, gx2, gy2 = gt[j, :4]
-        garea = max(gx2 - gx1, 0) * max(gy2 - gy1, 0)
-        for i in range(d):
-            x1 = max(dt[i, 0], gx1)
-            y1 = max(dt[i, 1], gy1)
-            x2 = min(dt[i, 2], gx2)
-            y2 = min(dt[i, 3], gy2)
-            inter = max(x2 - x1, 0) * max(y2 - y1, 0)
-            darea = max(dt[i, 2] - dt[i, 0], 0) * max(dt[i, 3] - dt[i, 1], 0)
-            union = darea if crowd[j] else darea + garea - inter
-            out[i, j] = inter / union if union > 0 else 0.0
+        return np.zeros((d, g))
+    dx1, dy1, dx2, dy2 = (dt[:, i, None] for i in range(4))  # (D,1)
+    gx1, gy1, gx2, gy2 = (gt[None, :, i] for i in range(4))  # (1,G)
+    inter = np.maximum(np.minimum(dx2, gx2) - np.maximum(dx1, gx1), 0.0) * (
+        np.maximum(np.minimum(dy2, gy2) - np.maximum(dy1, gy1), 0.0)
+    )
+    darea = np.maximum(dx2 - dx1, 0.0) * np.maximum(dy2 - dy1, 0.0)
+    garea = np.maximum(gx2 - gx1, 0.0) * np.maximum(gy2 - gy1, 0.0)
+    union = np.where(crowd[None, :], darea, darea + garea - inter)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(union > 0, inter / np.where(union > 0, union, 1.0), 0.0)
     return out
+
+
+def _greedy_match(ious: np.ndarray, g_ignore: np.ndarray, crowd: np.ndarray):
+    """Greedy score-order matching, all IoU thresholds at once.
+
+    ious: (D, G) with detections in descending-score order and GT in
+    ignored-LAST order (the pycocotools scan order).  Returns dtm (T, D)
+    matched gt index or -1, identical to the sequential reference scan:
+    per detection, the running-max update over gts (last tied index wins)
+    restricted to unclaimed-or-crowd gts, a match in the non-ignored
+    section short-circuiting the ignored section.
+
+    Greedy in score order means detection i's match depends only on
+    detections before it — so a maxDet-truncated evaluation equals a
+    prefix slice of this full result (the fact `accumulate` exploits).
+    """
+    d_n, g_n = ious.shape
+    t_n = len(IOU_THRS)
+    thr = np.minimum(IOU_THRS, 1 - 1e-10)  # (T,)
+    n_real = int((~g_ignore).sum())  # g_ignore is sorted: real gts first
+    gtm = -np.ones((t_n, g_n), np.int64)
+    dtm = -np.ones((t_n, d_n), np.int64)
+    t_idx = np.arange(t_n)
+    for di in range(d_n):
+        cand = np.where(
+            (gtm < 0) | crowd[None, :], ious[di][None, :], -1.0
+        )  # (T, G): claimed non-crowd gts are out
+        m = np.full(t_n, -1, np.int64)
+        if n_real:
+            real = cand[:, :n_real]
+            best = real.max(axis=1)
+            # last index achieving the max == the sequential running-max pick
+            last = n_real - 1 - np.argmax(real[:, ::-1] == best[:, None], axis=1)
+            ok = best >= thr
+            m = np.where(ok, last, m)
+        if g_n > n_real:
+            ig = cand[:, n_real:]
+            best_i = ig.max(axis=1)
+            last_i = (
+                g_n - 1 - np.argmax(ig[:, ::-1] == best_i[:, None], axis=1)
+            )
+            # the ignored section is only reachable when the non-ignored
+            # section produced no match (the reference's break)
+            m = np.where((m < 0) & (best_i >= thr), last_i, m)
+        hit = m >= 0
+        dtm[:, di] = m
+        gtm[t_idx[hit], m[hit]] = di
+    return dtm
 
 
 class COCOEvalBBox:
@@ -89,107 +139,105 @@ class COCOEvalBBox:
             np.asarray(dt_scores, np.float64).reshape(-1),
         )
 
-    def _evaluate_img(self, img_id, cat, area_rng, max_det):
-        """Returns (dt_scores, dt_matched_ignore, dt_ignored, npig) arrays."""
+    def _evaluate_img_cat(self, img_id, cat, gsel, dsel):
+        """Evaluate one (image, class) pair for ALL area ranges at once.
+
+        The IoU matrix is computed ONCE per pair; each area range permutes
+        GT into ignored-last order and runs the vectorized greedy match at
+        the maxDet=100 cap.  Per-maxDet results come from prefix slices in
+        ``accumulate`` (exact: greedy score-order matching of a prefix is
+        the prefix of the full match — see ``_greedy_match``).
+
+        Returns (scores (D,), per-area list of (matched (T,D), dt_ig (T,D),
+        npig)) or None when the pair is empty.
+        """
         gt_boxes, gt_cls, gt_crowd, gt_areas = self.gts[img_id]
         dt_boxes, dt_cls, dt_scores = self.dts[img_id]
-        gsel = gt_cls == cat
-        dsel = dt_cls == cat
         gt_b, crowd, g_area = gt_boxes[gsel], gt_crowd[gsel], gt_areas[gsel]
         dt_b, scores = dt_boxes[dsel], dt_scores[dsel]
         if len(gt_b) == 0 and len(dt_b) == 0:
             return None
 
-        g_ignore = crowd | (g_area < area_rng[0]) | (g_area > area_rng[1])
-        # non-ignored GT first (stable)
-        g_order = np.argsort(g_ignore, kind="stable")
-        gt_b, crowd, g_ignore = gt_b[g_order], crowd[g_order], g_ignore[g_order]
-
-        d_order = np.argsort(-scores, kind="stable")[:max_det]
+        d_order = np.argsort(-scores, kind="stable")[: max(MAX_DETS)]
         dt_b, scores = dt_b[d_order], scores[d_order]
-
-        ious = _iou_xyxy(dt_b, gt_b, crowd)
-        T = len(IOU_THRS)
-        D, G = len(dt_b), len(gt_b)
-        dtm = -np.ones((T, D), np.int64)  # matched gt index or -1
-        gtm = -np.ones((T, G), np.int64)
-        for t, thr in enumerate(IOU_THRS):
-            for di in range(D):
-                best_iou = min(thr, 1 - 1e-10)
-                best_g = -1
-                for gi in range(G):
-                    if gtm[t, gi] >= 0 and not crowd[gi]:
-                        continue  # already claimed (crowd may match many)
-                    if best_g >= 0 and not g_ignore[best_g] and g_ignore[gi]:
-                        break  # rest are ignored; keep the real match
-                    if ious[di, gi] < best_iou:
-                        continue
-                    best_iou = ious[di, gi]
-                    best_g = gi
-                if best_g >= 0:
-                    dtm[t, di] = best_g
-                    gtm[t, best_g] = di
-
         d_area = (dt_b[:, 2] - dt_b[:, 0]) * (dt_b[:, 3] - dt_b[:, 1])
-        d_out = (d_area < area_rng[0]) | (d_area > area_rng[1])
-        dt_ig = np.zeros((T, D), bool)
-        for t in range(T):
-            for di in range(D):
-                m = dtm[t, di]
-                dt_ig[t, di] = g_ignore[m] if m >= 0 else d_out[di]
-        npig = int((~g_ignore).sum())
-        return scores, dtm >= 0, dt_ig, npig
+        ious = _iou_xyxy(dt_b, gt_b, crowd)
+
+        per_area = []
+        for rng in AREA_RNG.values():
+            g_ignore = crowd | (g_area < rng[0]) | (g_area > rng[1])
+            g_order = np.argsort(g_ignore, kind="stable")  # non-ignored first
+            gi_sorted = g_ignore[g_order]
+            dtm = _greedy_match(ious[:, g_order], gi_sorted, crowd[g_order])
+            matched = dtm >= 0
+            d_out = (d_area < rng[0]) | (d_area > rng[1])
+            # ignored detection: matched an ignored GT, or unmatched + out
+            gi_pad = np.append(gi_sorted, False)  # index -1 -> harmless
+            dt_ig = np.where(matched, gi_pad[dtm], d_out[None, :])
+            per_area.append((matched, dt_ig, int((~gi_sorted).sum())))
+        return scores, per_area
 
     def accumulate(self):
         """-> precision (T, R, K, A, M), recall (T, K, A, M); -1 where empty."""
         T, R, K = len(IOU_THRS), len(REC_THRS), self.num_classes
-        areas = list(AREA_RNG.values())
-        A, M = len(areas), len(MAX_DETS)
+        A, M = len(AREA_RNG), len(MAX_DETS)
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
         img_ids = sorted(self.gts)
+
+        # One pass over (image, present class): evaluate every area range
+        # from a single IoU matrix, bucketing results per class.  (The old
+        # per-(class, area, maxDet) image sweep recomputed the pure-Python
+        # IoU matrix ~960x per image — hours on val2017-scale inputs.)
+        results: Dict[int, List] = {k: [] for k in range(K)}
+        for img_id in img_ids:
+            _, gt_cls, _, _ = self.gts[img_id]
+            _, dt_cls, _ = self.dts[img_id]
+            for cat in np.union1d(gt_cls, dt_cls):
+                cat = int(cat)
+                if not 0 <= cat < K:
+                    continue
+                r = self._evaluate_img_cat(
+                    img_id, cat, gt_cls == cat, dt_cls == cat
+                )
+                if r is not None:
+                    results[cat].append(r)
+
         for k in range(K):
-            for a, rng in enumerate(areas):
+            entries = results[k]
+            for a in range(A):
+                npig = sum(e[1][a][2] for e in entries)
+                if npig == 0:
+                    continue
                 for m, max_det in enumerate(MAX_DETS):
-                    scores_all: List = []
-                    matched_all: List = []
-                    ignored_all: List = []
-                    npig = 0
-                    for img_id in img_ids:
-                        r = self._evaluate_img(img_id, k, rng, max_det)
-                        if r is None:
-                            continue
-                        s, mt, ig, n = r
-                        scores_all.append(s)
-                        matched_all.append(mt)
-                        ignored_all.append(ig)
-                        npig += n
-                    if npig == 0:
-                        continue
-                    if scores_all:
-                        scores = np.concatenate(scores_all)
+                    if entries:
+                        scores = np.concatenate(
+                            [e[0][:max_det] for e in entries]
+                        )
                         order = np.argsort(-scores, kind="mergesort")
-                        mt = np.concatenate(matched_all, axis=1)[:, order]
-                        ig = np.concatenate(ignored_all, axis=1)[:, order]
+                        mt = np.concatenate(
+                            [e[1][a][0][:, :max_det] for e in entries], axis=1
+                        )[:, order]
+                        ig = np.concatenate(
+                            [e[1][a][1][:, :max_det] for e in entries], axis=1
+                        )[:, order]
                     else:
                         mt = np.zeros((T, 0), bool)
                         ig = np.zeros((T, 0), bool)
                     tps = np.cumsum(mt & ~ig, axis=1).astype(np.float64)
                     fps = np.cumsum(~mt & ~ig, axis=1).astype(np.float64)
+                    n_d = tps.shape[1]
+                    rc = tps / npig
+                    pr = tps / np.maximum(tps + fps, np.spacing(1))
+                    recall[:, k, a, m] = rc[:, -1] if n_d else 0.0
+                    # precision envelope (monotone non-increasing), then
+                    # sampled at the 101 recall points — vectorized over T
+                    env = np.maximum.accumulate(pr[:, ::-1], axis=1)[:, ::-1]
                     for t in range(T):
-                        tp, fp = tps[t], fps[t]
-                        rc = tp / npig
-                        pr = tp / np.maximum(tp + fp, np.spacing(1))
-                        recall[t, k, a, m] = rc[-1] if len(rc) else 0.0
-                        # precision envelope (monotone non-increasing)
+                        inds = np.searchsorted(rc[t], REC_THRS, side="left")
+                        ok = inds < n_d
                         q = np.zeros(R)
-                        pr = pr.tolist()
-                        for i in range(len(pr) - 1, 0, -1):
-                            pr[i - 1] = max(pr[i - 1], pr[i])
-                        inds = np.searchsorted(rc, REC_THRS, side="left")
-                        for ri, pi in enumerate(inds):
-                            if pi < len(pr):
-                                q[ri] = pr[pi]
+                        q[ok] = env[t][inds[ok]]
                         precision[t, :, k, a, m] = q
         return precision, recall
 

@@ -71,11 +71,13 @@ class ConvBNLeaky(nn.Module):
     every Darknet/YOLO layer); here the BN scale/shift folds into the conv
     epilogue under XLA at inference.
 
-    TPU inference fast path: the shallow stride-2 3x3 downsample convs
-    (Cin < 256) run far below speed-of-light under XLA's conv lowering
-    (MXU K-dim padding — docs/perf_notes.md); on TPU those route to the
-    fused im2col Pallas kernel (``ops/conv_pallas.py``) with BN+leaky in
-    the epilogue.  Parameter trees are identical on every path.
+    The shallow stride-2 3x3 downsample convs (Cin < 256) run below
+    speed-of-light under XLA's conv lowering (MXU K-dim padding), but the
+    fused im2col Pallas kernel (``ops/conv_pallas.py``) measured SLOWER
+    still (4.97 vs 1.60 ms standalone — docs/perf_notes.md dead ends), so
+    the default conv backend is XLA; the Pallas kernel stays available
+    opt-in via ``VIDDET_CONV_BACKEND=pallas`` (``core/platform.py``).
+    Parameter trees are identical on every path.
     """
 
     features: int

@@ -326,7 +326,18 @@ def forward_and_postprocess(module: YOLOv3, variables, images, nms: NMSConfig = 
     """
     outputs = module.apply(variables, images, train=False)
     backend = nms.resolved_backend()
-    if backend in ("pallas", "pallas_interpret") and "raws_cells" in outputs:
+    anchors, strides, _ = module._config()
+    img_h, img_w = images.shape[1], images.shape[2]
+    # Non-multiple-of-stride inputs give SAME-padded ceil-sized feature
+    # maps, so meta recomputed from image size would disagree with the
+    # actual raws_cells shapes — route those through the XLA postprocess,
+    # which reads shapes directly.
+    aligned = all(img_h % st == 0 and img_w % st == 0 for st in strides)
+    if (
+        backend in ("pallas", "pallas_interpret")
+        and "raws_cells" in outputs
+        and aligned
+    ):
         # Fused per-scale gather-decode path (bit-identical; ~3 ms faster
         # per batch-128 on v5e): the kernel consumes the output convs'
         # natural cell layout and recomputes decode constants from the
@@ -334,8 +345,6 @@ def forward_and_postprocess(module: YOLOv3, variables, images, nms: NMSConfig = 
         # anchor-split reshapes never materialize.
         from viddet_tpu.ops.nms import multiclass_nms_late_decode_fused
 
-        anchors, strides, _ = module._config()
-        img_h, img_w = images.shape[1], images.shape[2]
         meta = tuple(
             (
                 (img_h // st) * (img_w // st),

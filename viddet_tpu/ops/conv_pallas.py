@@ -127,6 +127,12 @@ def conv_down2_bn_leaky(
 
     if rows_per_chunk is None:
         rows_per_chunk = _pick_rows_per_chunk(h2, w2, 9 * cin)
+    elif h2 % rows_per_chunk:
+        # The kernel loops h2 // rows_per_chunk chunks; a non-divisor would
+        # leave the remainder output rows unwritten (uninitialized VMEM).
+        raise ValueError(
+            f"rows_per_chunk={rows_per_chunk} must divide H//2={h2}"
+        )
 
     out = pl.pallas_call(
         functools.partial(

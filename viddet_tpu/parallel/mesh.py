@@ -40,16 +40,43 @@ def initialize_distributed(
     this once at program start on every host, then ``make_mesh()`` returns
     the global mesh spanning all hosts (ICI within a slice, DCN across
     slices) and per-host batch shards flow through ``put_batch`` unchanged.
-    No-op when already initialized or single-process.
+
+    A second call is an explicit no-op (logged).  A REAL initialization
+    failure — e.g. a misconfigured coordinator on a multi-host pod — is
+    re-raised rather than silently degrading to single-host SPMD, UNLESS
+    this is a plain single-process environment (no coordinator requested
+    and none detectable), where jax.distributed legitimately has nothing
+    to do.
     """
+    import logging
+
+    log = logging.getLogger("viddet_tpu.parallel")
+    if jax.distributed.is_initialized():
+        log.info("jax.distributed already initialized; skipping")
+        return
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process environment
+    except (RuntimeError, ValueError) as e:
+        if explicit:
+            raise RuntimeError(
+                "jax.distributed.initialize failed with an explicit "
+                f"coordinator ({coordinator_address}); refusing to fall "
+                "back to single-host SPMD"
+            ) from e
+        log.info("single-process environment (no coordinator): %s", e)
+        return
+    log.info(
+        "jax.distributed initialized: process %d/%d, %d local / %d global devices",
+        jax.process_index(),
+        jax.process_count(),
+        jax.local_device_count(),
+        jax.device_count(),
+    )
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
