@@ -239,65 +239,74 @@ def _make_kernel(meta, k, c, extract_m, hot_j):
     return kernel
 
 
-def _finalize_kernel(k, m, c, j, topk):
+def _finalize_kernel(g, k, m, c, j, topk):
     """Map merged-ranking winners back to (class id, candidate box).
 
     The XLA equivalents — three small ``take_along_axis`` gathers on the
     serial tail — cost ~1.2 ms/batch-128 on v5e; here each gather is an
-    exact one-hot contraction on the otherwise-idle MXU.
+    exact one-hot contraction on the otherwise-idle MXU.  Each grid step
+    processes a GROUP of ``g`` images: the per-step fixed cost (DMA
+    latency on six tiny buffers + pipeline overhead) dominated the
+    per-image grid (~9 us/image measured, vs ~100k flops of real work).
     """
     width = k * (m - 1)
 
     def kernel(im_ref, hi_ref, q_ref, bk_ref, cls_ref, cb_ref):
-        q = q_ref[0, 0]  # (topk,) i32 indices into [cand | hot_flat]
-        q_f = q.astype(jnp.float32)
-        in_cand = (q < width).astype(jnp.float32)
+        for gi in range(g):
+            q = q_ref[gi, 0]  # (topk,) i32 indices into [cand | hot_flat]
+            q_f = q.astype(jnp.float32)
+            in_cand = (q < width).astype(jnp.float32)
 
-        # Candidate-set entries: box = q // (m-1), class = i_m[box, q % (m-1)].
-        box1_f, r_f = _exact_divmod(jnp.minimum(q_f, float(width - 1)), m - 1)
-        iota_k = jax.lax.broadcasted_iota(jnp.int32, (topk, k), 1)
-        oh_box1 = (iota_k == box1_f.astype(jnp.int32)[:, None]).astype(
-            jnp.float32
-        )
-        rows = jax.lax.dot_general(
-            oh_box1,
-            im_ref[0, :, : m - 1].astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (topk, m-1) — candidate boxes' top-(m-1) class ids, reordered
-        cls1 = jnp.zeros((topk,), jnp.float32)
-        for t in range(m - 1):
-            cls1 = jnp.where(r_f == float(t), rows[:, t], cls1)
+            # Candidate entries: box = q // (m-1), class = i_m[box, q % (m-1)].
+            box1_f, r_f = _exact_divmod(
+                jnp.minimum(q_f, float(width - 1)), m - 1
+            )
+            # Repair entries: e = q - width; box = hot_idx[e // C], cls = e % C.
+            e_f = jnp.maximum(q_f - float(width), 0.0)
+            hrow_f, cls2 = _exact_divmod(e_f, c)
+            iota_j = jax.lax.broadcasted_iota(jnp.int32, (topk, j), 1)
+            oh_hot = (iota_j == hrow_f.astype(jnp.int32)[:, None]).astype(
+                jnp.float32
+            )
+            # Box ids reach k-1 >= 256 (not bf16-exact): gather the low and
+            # high halves separately — both < 256, each bf16-exact.
+            hi_f = hi_ref[gi].astype(jnp.float32)  # (1, j)
+            hi_hi, hi_lo = _exact_divmod(hi_f, 128)
+            box2 = jax.lax.dot_general(
+                oh_hot,
+                jnp.concatenate([hi_lo, hi_hi], axis=0).astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (topk, 2): [low, high]
+            box2 = box2[:, 0] + 128.0 * box2[:, 1]
 
-        # Repair-set entries: e = q - width; box = hot_idx[e // C], cls = e % C.
-        e_f = jnp.maximum(q_f - float(width), 0.0)
-        hrow_f, cls2 = _exact_divmod(e_f, c)
-        iota_j = jax.lax.broadcasted_iota(jnp.int32, (topk, j), 1)
-        oh_hot = (iota_j == hrow_f.astype(jnp.int32)[:, None]).astype(
-            jnp.float32
-        )
-        box2 = jax.lax.dot_general(
-            oh_hot,
-            hi_ref[0].astype(jnp.float32),  # (1, j)
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )[:, 0]
-
-        box_sel = in_cand * box1_f + (1.0 - in_cand) * box2
-        cls_ref[0, 0] = in_cand * cls1 + (1.0 - in_cand) * cls2
-
-        oh_sel = (iota_k == box_sel.astype(jnp.int32)[:, None]).astype(
-            jnp.float32
-        )
-        cb_ref[0] = jax.lax.dot_general(
-            oh_sel,
-            bk_ref[0],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (topk, 4) — exact gather of candidate boxes
+            # ONE one-hot + ONE matmul for classes AND boxes: candidate
+            # entries have box_sel == box1, so their class rows gather
+            # correctly by box_sel; repair entries take the arithmetic
+            # cls2 and ignore the gathered class columns.  (Materializing
+            # a (topk, k) one-hot costs more than every matmul here, so
+            # build exactly one.)
+            box_sel = in_cand * box1_f + (1.0 - in_cand) * box2
+            iota_k = jax.lax.broadcasted_iota(jnp.int32, (topk, k), 1)
+            oh_sel = (iota_k == box_sel.astype(jnp.int32)[:, None]).astype(
+                jnp.float32
+            )
+            payload = jnp.concatenate(
+                [im_ref[gi, :, : m - 1].astype(jnp.float32), bk_ref[gi]],
+                axis=-1,
+            )  # (k, m-1+4): class-id columns | box coords
+            gath = jax.lax.dot_general(
+                oh_sel,
+                payload,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (topk, m-1+4) — exact 1.0 * f32 products
+            cls1 = jnp.zeros((topk,), jnp.float32)
+            for t in range(m - 1):
+                cls1 = jnp.where(r_f == float(t), gath[:, t], cls1)
+            cls_ref[gi, 0] = in_cand * cls1 + (1.0 - in_cand) * cls2
+            cb_ref[gi] = gath[:, m - 1 :]
 
     return kernel
 
@@ -316,18 +325,19 @@ def finalize_candidates(
     b, k, m = i_m.shape
     j = hot_idx.shape[-1]
     topk = q.shape[-1]
+    g = next(gg for gg in (8, 4, 2, 1) if b % gg == 0)
     cls_idx, cand_boxes = pl.pallas_call(
-        _finalize_kernel(k, m, num_classes, j, topk),
-        grid=(b,),
+        _finalize_kernel(g, k, m, num_classes, j, topk),
+        grid=(b // g,),
         in_specs=[
-            pl.BlockSpec((1, k, m), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, j), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, topk), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, 4), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, k, m), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1, j), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1, topk), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, k, 4), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, topk), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, topk, 4), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1, topk), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, topk, 4), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, 1, topk), jnp.float32),
