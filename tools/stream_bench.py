@@ -43,6 +43,12 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--frames", type=int, default=512)
     p.add_argument("--data-shape", type=int, default=416)
+    p.add_argument("--streams", type=int, default=1,
+                   help="N parallel decode streams of the same video "
+                        "feeding one shared batch (continuous batching; "
+                        "also emulates a multi-core decode host)")
+    p.add_argument("--temporal-k", type=int, default=1,
+                   help="k-frame clip assembly (temporal streaming bench)")
     args = p.parse_args(argv)
 
     import jax
@@ -60,26 +66,59 @@ def main(argv=None):
         print(f"generating {args.frames}-frame test video...")
         make_test_video(video, args.frames, (args.data_shape, args.data_shape))
 
-    module, _ = get_model("yolo3_darknet53_coco")
     shape = args.data_shape
-    variables = module.init(jax.random.key(0), jnp.zeros((2, shape, shape, 3)), train=False)
+    k = args.temporal_k
+    if k > 1:
+        from viddet_tpu.models.zoo import temporal_yolo3_custom
+
+        module, _ = temporal_yolo3_custom(
+            [f"c{i}" for i in range(30)], k=k, aggregation="max"
+        )
+        init_x = jnp.zeros((2, k, shape, shape, 3))
+    else:
+        module, _ = get_model("yolo3_darknet53_coco")
+        init_x = jnp.zeros((2, shape, shape, 3))
+    variables = module.init(jax.random.key(0), init_x, train=False)
 
     @jax.jit
     def infer(v, im):
         return forward_and_postprocess(module, v, im)
 
     # warm the executable
-    np.asarray(infer(variables, jnp.zeros((args.batch, shape, shape, 3), jnp.float32))[0])
+    warm_shape = (
+        (args.batch, k, shape, shape, 3) if k > 1 else (args.batch, shape, shape, 3)
+    )
+    np.asarray(infer(variables, jnp.zeros(warm_shape, jnp.float32))[0])
 
     from viddet_tpu import native
 
     size = (shape, shape)
+    kind = "native C++ decode" if native.available() else "cv2 decode thread"
+    if args.streams > 1 or k > 1:
+        from viddet_tpu.infer.multistream import open_sources, stream_detect_multi
+
+        transform = ValTransform(size=size, letterbox_resize=True)
+        sources = open_sources(
+            [video] * args.streams, transform, need_rgb=False
+        )
+        t0 = time.perf_counter()
+        n = 0
+        for _ in stream_detect_multi(
+            {nm: iter(s) for nm, s in sources.items()},
+            infer, variables, args.batch, size, k=k,
+        ):
+            n += 1
+        dt = time.perf_counter() - t0
+        print(
+            f"end-to-end ({args.streams} streams, k={k}, {kind}, "
+            f"host_cores={os.cpu_count()}): "
+            f"{n} frames in {dt:.2f}s = {n/dt:.1f} fps aggregate"
+        )
+        return
     if native.available():
         source = NativeFrameSource(video, size)
-        kind = "native C++ decode"
     else:
         source = FrameSource(video, ValTransform(size=size, letterbox_resize=True))
-        kind = "cv2 decode thread"
 
     t0 = time.perf_counter()
     n = 0

@@ -33,7 +33,9 @@ def parse_args(argv=None):
     p.add_argument("--network", default="yolo3_darknet53")
     p.add_argument("--dataset", default="voc", help="class set: voc|coco|vid")
     p.add_argument("--weights", default="", help=".npz weights (random if empty)")
-    p.add_argument("--input", required=True, help="image / dir / video file")
+    p.add_argument("--input", required=True,
+                   help="image / dir / video file; comma-separate multiple "
+                        "videos to stream them through one shared batch")
     p.add_argument("--output", default="results", help="output directory")
     p.add_argument("--data-shape", type=int, default=416)
     p.add_argument("--thresh", type=float, default=0.5)
@@ -41,6 +43,14 @@ def parse_args(argv=None):
     p.add_argument("--every", type=int, default=1, help="process every nth frame")
     p.add_argument("--save-detections", action="store_true", help="write det .txt")
     p.add_argument("--no-draw", action="store_true")
+    p.add_argument("--temporal-k", type=int, default=1,
+                   help="k-frame clip window for VID temporal models "
+                        "(video input only; per-stream ring buffers "
+                        "assemble clips from the live stream)")
+    p.add_argument("--temporal-stride", type=int, default=1,
+                   help="emit one clip per this many frames")
+    p.add_argument("--temporal-agg", default="max",
+                   choices=("stack", "max", "mean", "conv"))
     from viddet_tpu.cli.common import parse_with_config
     return parse_with_config(p, argv)
 
@@ -52,6 +62,13 @@ VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
 def collect_inputs(path: str):
     if path.isdigit():  # webcam index, as the reference's detect.py supports
         return "video", [int(path)]
+    if "," in path:  # multiple videos -> one shared continuous batch
+        parts = [p.strip() for p in path.split(",") if p.strip()]
+        if all(p.lower().endswith(VIDEO_EXTS) for p in parts):
+            return "video", parts
+        raise ValueError(
+            "comma-separated --input requires every entry to be a video file"
+        )
     if os.path.isdir(path):
         files = sorted(
             f for f in glob.glob(os.path.join(path, "*"))
@@ -68,7 +85,21 @@ def main(argv=None):
     logger = setup_logging()
     os.makedirs(args.output, exist_ok=True)
 
-    module, class_names = build_model(args.network, args.dataset)
+    temporal = args.temporal_k > 1
+    if temporal:
+        # k-frame clip model over the dataset's class set (same
+        # construction as cli/evaluate.py); clips are assembled from the
+        # live stream by per-stream ring buffers (infer/multistream.py).
+        from viddet_tpu.models.zoo import temporal_yolo3_custom
+
+        _, class_names = build_model(args.network, args.dataset)
+        backbone = "tiny" if "tiny" in args.network else "darknet53"
+        module, class_names = temporal_yolo3_custom(
+            list(class_names), k=args.temporal_k,
+            aggregation=args.temporal_agg, backbone=backbone,
+        )
+    else:
+        module, class_names = build_model(args.network, args.dataset)
     variables = load_weights(module, args.weights, args.data_shape)
 
     from viddet_tpu.cli.common import make_predictor
@@ -79,7 +110,31 @@ def main(argv=None):
     transform = ValTransform(size=size, letterbox_resize=True)
 
     kind, files = collect_inputs(args.input)
+    if temporal and kind != "video":
+        raise SystemExit("--temporal-k > 1 needs video input (clips are "
+                         "assembled from the frame stream)")
     if kind == "video":
+        if temporal or len(files) > 1:
+            # N streams and/or k-frame clips through one shared batch
+            from viddet_tpu.infer.multistream import stream_detect_videos
+
+            stream_detect_videos(
+                files,
+                infer,
+                variables,
+                transform,
+                class_names,
+                output_dir=args.output,
+                thresh=args.thresh,
+                batch_size=args.batch_size,
+                every=args.every,
+                k=args.temporal_k,
+                stride=args.temporal_stride,
+                draw=not args.no_draw,
+                save_detections=args.save_detections,
+                logger=logger,
+            )
+            return
         from viddet_tpu.infer.stream import stream_detect_video
 
         stream_detect_video(

@@ -327,7 +327,9 @@ def forward_and_postprocess(module: YOLOv3, variables, images, nms: NMSConfig = 
     outputs = module.apply(variables, images, train=False)
     backend = nms.resolved_backend()
     anchors, strides, _ = module._config()
-    img_h, img_w = images.shape[1], images.shape[2]
+    # Negative indexing so (B, k, H, W, 3) temporal clips resolve the same
+    # spatial dims as (B, H, W, 3) frames and reach the fused path too.
+    img_h, img_w = images.shape[-3], images.shape[-2]
     # Non-multiple-of-stride inputs give SAME-padded ceil-sized feature
     # maps, so meta recomputed from image size would disagree with the
     # actual raws_cells shapes — route those through the XLA postprocess,

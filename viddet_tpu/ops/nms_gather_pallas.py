@@ -58,6 +58,14 @@ def scale_constants_np(h: int, w: int, anchors, stride: int):
     return np.stack([gx, gy, aw, ah, st], axis=-1).reshape(-1, 5)
 
 
+def _group_size(b: int, cap: int = 8) -> int:
+    """Images per grid step: each step pays ~9 us of fixed sequencer/DMA
+    overhead (measured on v5e) regardless of block size, which dominates
+    these small per-image kernels at batch 128 — amortize it over the
+    largest divisor of ``b`` up to ``cap``."""
+    return next(g for g in range(cap, 0, -1) if b % g == 0)
+
+
 def _exact_divmod(n_f: jnp.ndarray, d: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """floor(n/d), n%d for small non-negative integer-valued f32 vectors.
 
@@ -92,8 +100,8 @@ def _extract_top_m(pairs, m):
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)  # (k, m) each
 
 
-def _make_kernel(meta, k, c, extract_m, hot_j):
-    """Kernel over one image.
+def _make_kernel(g, meta, k, c, extract_m, hot_j):
+    """Kernel over a group of ``g`` images (see ``_group_size``).
 
     meta: static per-scale tuples (cells, width, stride, anchors) with
     anchors = ((w, h), ...) python floats; deepest scale first.
@@ -108,11 +116,15 @@ def _make_kernel(meta, k, c, extract_m, hot_j):
     def kernel(*refs):
         raw_refs = refs[: len(meta)]
         idx_ref = refs[len(meta)]
+        for gi in range(g):
+            _one_image(gi, raw_refs, idx_ref, refs[len(meta) + 1 :])
+
+    def _one_image(gi, raw_refs, idx_ref, out_refs):
         if extract_m:
-            ob_ref, vm_ref, im_ref, hf_ref, hi_ref = refs[len(meta) + 1 :]
+            ob_ref, vm_ref, im_ref, hf_ref, hi_ref = out_refs
         else:
-            ob_ref, op_ref = refs[len(meta) + 1 :]
-        idx = idx_ref[0, 0]  # (K,) i32 — flat (scale, cell, anchor) index
+            ob_ref, op_ref = out_refs
+        idx = idx_ref[gi, 0]  # (K,) i32 — flat (scale, cell, anchor) index
 
         # Per-candidate metadata, piecewise over scales (exact f32 int math),
         # and one one-hot cell dot per scale.
@@ -161,7 +173,7 @@ def _make_kernel(meta, k, c, extract_m, hot_j):
             )
             g255 = g255 + jnp.dot(
                 onehot,
-                raw_refs[sidx][0],
+                raw_refs[sidx][gi],
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )
@@ -182,16 +194,16 @@ def _make_kernel(meta, k, c, extract_m, hot_j):
         anch = jnp.stack([aw, ah], axis=-1)
         center = (xy + grid) * stride_v[:, None]
         half = 0.5 * (wh * anch)
-        ob_ref[0] = jnp.concatenate([center - half, center + half], axis=-1)
+        ob_ref[gi] = jnp.concatenate([center - half, center + half], axis=-1)
         obj = jax.nn.sigmoid(g[:, 4:5])
         pairs = obj * jax.nn.sigmoid(g[:, 5:d])
         if not extract_m:
-            op_ref[0] = pairs
+            op_ref[gi] = pairs
             return
         m = extract_m
         v_m, i_m = _extract_top_m(pairs, m)
-        vm_ref[0] = v_m
-        im_ref[0] = i_m
+        vm_ref[gi] = v_m
+        im_ref[gi] = i_m
 
         # Pigeonhole repair set, selected in-kernel (the XLA equivalents —
         # a 400-wide top-k plus three small gathers — cost ~1.3 ms/batch128
@@ -233,8 +245,8 @@ def _make_kernel(meta, k, c, extract_m, hot_j):
         dup = iota_c2 < 0
         for t in range(m - 1):
             dup = dup | (iota_c2 == hot_cls[:, t : t + 1].astype(jnp.int32))
-        hf_ref[0] = jnp.where(dup, -1.0, hot_vals)
-        hi_ref[0] = jnp.concatenate(hot_ids, axis=1)  # (1, hot_j)
+        hf_ref[gi] = jnp.where(dup, -1.0, hot_vals)
+        hi_ref[gi] = jnp.concatenate(hot_ids, axis=1)  # (1, hot_j)
 
     return kernel
 
@@ -325,7 +337,7 @@ def finalize_candidates(
     b, k, m = i_m.shape
     j = hot_idx.shape[-1]
     topk = q.shape[-1]
-    g = next(gg for gg in (8, 4, 2, 1) if b % gg == 0)
+    g = _group_size(b)
     cls_idx, cand_boxes = pl.pallas_call(
         _finalize_kernel(g, k, m, num_classes, j, topk),
         grid=(b // g,),
@@ -351,27 +363,35 @@ def finalize_candidates(
     return cls_idx[:, 0], cand_boxes
 
 
-def _score_kernel(meta, num_pred):
-    """Per-image anchor scores straight from the cell-layout head tensors.
+def _score_kernel(g, meta, num_pred):
+    """Anchor scores straight from the cell-layout head tensors.
 
     score[cell, a] = sigmoid(obj_a) * sigmoid(max_c cls_a) — one read of
     the head output instead of the XLA reduce/slice/concat chain that
-    re-reads it several times (~2 ms/batch-128 on v5e).
+    re-reads it several times (~2 ms/batch-128 on v5e).  Each grid step
+    processes a group of ``g`` images (see ``_group_size``) but loops
+    over them one at a time: full-block f32 intermediates at g=4 cost
+    ~60 MiB of scoped VMEM, per-image ones stay under 1 MiB.
     """
 
     def kernel(*refs):
         raw_refs = refs[: len(meta)]
         out_refs = refs[len(meta) :]
-        for rref, oref, (cells, _, _, anchors) in zip(raw_refs, out_refs, meta):
-            cols = []
-            for a in range(len(anchors)):
-                o = a * num_pred
-                obj = rref[0, :, o + 4 : o + 5].astype(jnp.float32)  # (cells,1)
-                clsm = jnp.max(
-                    rref[0, :, o + 5 : o + num_pred], axis=-1, keepdims=True
-                ).astype(jnp.float32)
-                cols.append(jax.nn.sigmoid(obj) * jax.nn.sigmoid(clsm))
-            oref[0] = jnp.concatenate(cols, axis=-1)  # (cells, na)
+        for gi in range(g):
+            for rref, oref, (cells, _, _, anchors) in zip(
+                raw_refs, out_refs, meta
+            ):
+                cols = []
+                for a in range(len(anchors)):
+                    o = a * num_pred
+                    obj = rref[gi, :, o + 4 : o + 5].astype(jnp.float32)
+                    clsm = jnp.max(
+                        rref[gi, :, o + 5 : o + num_pred],
+                        axis=-1,
+                        keepdims=True,
+                    ).astype(jnp.float32)
+                    cols.append(jax.nn.sigmoid(obj) * jax.nn.sigmoid(clsm))
+                oref[gi] = jnp.concatenate(cols, axis=-1)  # (cells, na)
 
     return kernel
 
@@ -390,19 +410,23 @@ def anchor_scores(
     b = raws[0].shape[0]
     na = len(meta[0][3])
     num_pred = raws[0].shape[-1] // na
+    # g=1 (measured): 4-wide grouping left this kernel's time unchanged
+    # (1.09 -> 1.11 ms/batch-128) while the (g, cells, na) f32 output
+    # windows pad na -> 128 lanes (43x useful bytes) — not worth it.
+    g = 1
     outs = pl.pallas_call(
-        _score_kernel(meta, num_pred),
-        grid=(b,),
+        _score_kernel(g, meta, num_pred),
+        grid=(b // g,),
         in_specs=[
             pl.BlockSpec(
-                (1, m[0], na * num_pred),
+                (g, m[0], na * num_pred),
                 lambda ii: (ii, 0, 0),
                 memory_space=pltpu.VMEM,
             )
             for m in meta
         ],
         out_specs=tuple(
-            pl.BlockSpec((1, m[0], na), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((g, m[0], na), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM)
             for m in meta
         ),
         out_shape=tuple(
@@ -453,29 +477,34 @@ def gather_decode_pairs(
     na = len(meta[0][3])
     c = raws[0].shape[-1] // na - 5
     k = a_idx.shape[-1]
-    kernel = _make_kernel(meta, k, c, extract_m, hot_j)
+    # g=1 (measured): grouping grid steps 4-wide REGRESSED this kernel
+    # 1.95 -> 2.30 ms/batch-128 — whole-image blocks already pipeline
+    # their big DMAs, and wider blocks only add VMEM pressure.  Grouping
+    # pays off only for tiny-buffer kernels (see finalize_candidates).
+    g = 1
+    kernel = _make_kernel(g, meta, k, c, extract_m, hot_j)
 
     in_specs = [
         pl.BlockSpec(
-            (1, m[0], na * (5 + c)), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM
+            (g, m[0], na * (5 + c)), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM
         )
         for m in meta
     ]
     in_specs += [
-        pl.BlockSpec((1, 1, k), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((g, 1, k), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM)
     ]
     out_specs = [
-        pl.BlockSpec((1, k, 4), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, k, 4), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((b, k, 4), jnp.float32),
     ]
     if extract_m:
         out_specs += [
-            pl.BlockSpec((1, k, extract_m), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, extract_m), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hot_j, c), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hot_j), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, k, extract_m), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, k, extract_m), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, hot_j, c), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1, hot_j), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
         ]
         out_shape += [
             jax.ShapeDtypeStruct((b, k, extract_m), jnp.float32),
@@ -485,14 +514,14 @@ def gather_decode_pairs(
         ]
     else:
         out_specs += [
-            pl.BlockSpec((1, k, c), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, k, c), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
         ]
         out_shape += [
             jax.ShapeDtypeStruct((b, k, c), jnp.float32),
         ]
     outs = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // g,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
