@@ -1,10 +1,12 @@
-"""Training-step throughput benchmark (samples/sec/chip).
+"""Training-step throughput benchmark (samples/sec/chip), all 3 families.
 
-Measures the jitted YOLOv3 train step — forward + in-step target assignment
-+ dynamic-IoU ignore + backward + SGD update, the reference's whole per-batch
-hot loop (SURVEY.md §4.1) as one XLA program — on synthetic data, one chip.
+Measures the jitted train step — forward + in-step target assignment +
+backward + SGD update, the reference's whole per-batch hot loop
+(SURVEY.md §4.1) as one XLA program — on synthetic data, one chip.
 
-  python tools/train_bench.py [--batch 32] [--size 416] [--network yolo3_darknet53_coco]
+  python tools/train_bench.py [--batch 32] [--size 416] [--network ...]
+  python tools/train_bench.py --family ssd   [--batch 16] [--size 512]
+  python tools/train_bench.py --family frcnn [--batch 8]  [--size 512]
 
 Prints one JSON line: {"metric", "value", "unit", ...}.
 """
@@ -25,9 +27,13 @@ if "LIBTPU_INIT_ARGS" not in os.environ:
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--network", default="yolo3_darknet53_coco")
-    p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--size", type=int, default=416)
+    p.add_argument("--family", default="yolo", choices=("yolo", "ssd", "frcnn"))
+    p.add_argument("--network", default="",
+                   help="zoo name (default: the family's COCO flagship)")
+    p.add_argument("--batch", type=int, default=0,
+                   help="default: 32 yolo / 16 ssd / 8 frcnn")
+    p.add_argument("--size", type=int, default=0,
+                   help="default: 416 yolo / 512 ssd+frcnn")
     p.add_argument("--max-boxes", type=int, default=50)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
@@ -47,10 +53,19 @@ def main(argv=None):
     from viddet_tpu.train.loop import make_train_step
     from viddet_tpu.train.state import TrainState
 
-    module, classes = get_model(args.network)
-    anchors, strides, _ = module._config()
+    defaults = {
+        "yolo": ("yolo3_darknet53_coco", 32, 416),
+        "ssd": ("ssd_512_resnet50_coco", 16, 512),
+        "frcnn": ("faster_rcnn_resnet50_fpn_coco", 8, 512),
+    }
+    net_default, b_default, s_default = defaults[args.family]
+    network = args.network or net_default
+    b = args.batch or b_default
+    s = args.size or s_default
+    m = args.max_boxes
+
+    module, classes = get_model(network)
     num_classes = len(classes)
-    b, s, m = args.batch, args.size, args.max_boxes
     rng = np.random.default_rng(0)
 
     images = jnp.asarray(
@@ -65,30 +80,57 @@ def main(argv=None):
     )
     gt_weights = jnp.ones((b, m), jnp.float32)
 
-    variables = module.init(
-        jax.random.key(0), images[:1].astype(jnp.float32), train=False
-    )
+    tx = optax.sgd(args.lr, momentum=0.9)
+    if args.family == "yolo":
+        anchors, strides, _ = module._config()
+        variables = module.init(
+            jax.random.key(0), images[:1].astype(jnp.float32), train=False
+        )
+        train_step = make_train_step(
+            module,
+            strides=tuple(strides),
+            anchors=tuple(tuple(tuple(a) for a in sc) for sc in anchors),
+            num_classes=num_classes,
+        )
+        step_args = (images, gt_boxes, gt_ids, gt_weights)
+        run = lambda state: train_step(state, *step_args)
+    elif args.family == "ssd":
+        from viddet_tpu.train.loop import make_ssd_train_step
+
+        gt_ids_i = gt_ids.astype(jnp.int32)
+        variables = module.init(
+            jax.random.key(0), images[:1].astype(jnp.float32), train=True
+        )
+        train_step = make_ssd_train_step(module)
+        run = lambda state: train_step(state, images, gt_boxes, gt_ids_i)
+    else:  # frcnn
+        from viddet_tpu.train.loop import make_frcnn_train_step
+
+        gt_ids_i = gt_ids.astype(jnp.int32)
+        variables = module.init(
+            {"params": jax.random.key(0), "sampling": jax.random.key(1)},
+            images[:1].astype(jnp.float32), gt_boxes[:1], gt_ids_i[:1],
+            train=True,
+        )
+        train_step = make_frcnn_train_step(module)
+        key = jax.random.key(5)
+        run = lambda state: train_step(state, key, images, gt_boxes, gt_ids_i)
+
     state = TrainState.create(
         params=variables["params"],
         batch_stats=variables["batch_stats"],
-        tx=optax.sgd(args.lr, momentum=0.9),
-    )
-    train_step = make_train_step(
-        module,
-        strides=tuple(strides),
-        anchors=tuple(tuple(tuple(a) for a in s) for s in anchors),
-        num_classes=num_classes,
+        tx=tx,
     )
 
     for _ in range(args.warmup):
-        state, losses = train_step(state, images, gt_boxes, gt_ids, gt_weights)
+        state, losses = run(state)
     float(losses["total"])  # sync
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            state, losses = train_step(state, images, gt_boxes, gt_ids, gt_weights)
+            state, losses = run(state)
         float(losses["total"])  # host fetch = reliable sync on axon
         best = min(best, time.perf_counter() - t0)
 
@@ -96,7 +138,7 @@ def main(argv=None):
     print(
         json.dumps(
             {
-                "metric": f"train_samples_per_sec_per_chip_{args.network}_{s}",
+                "metric": f"train_samples_per_sec_per_chip_{network}_{s}",
                 "value": round(sps, 1),
                 "unit": "samples/s",
                 "batch": b,

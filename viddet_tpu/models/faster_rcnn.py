@@ -250,10 +250,14 @@ class FasterRCNN(nn.Module):
         b, r, _ = rois.shape
         # ROIAlign per image over the P2..P5 pyramid (P6 is RPN-only);
         # backend per config: packed single-gather (xla) or window-DMA MXU
-        # kernel (pallas)
+        # kernel (pallas).  TRAINING always takes the xla path: pallas_call
+        # has no JVP rule, and a custom-vjp wrapper whose backward re-runs
+        # the XLA forward would cost strictly more than XLA end-to-end —
+        # the kernel is an inference-speed play (220 -> 377 fps).
+        backend = "xla" if train else self.config.resolved_roi_backend()
         feats = multilevel_roi_align_auto(
             [p for p in pyramid[:4]], rois, strides=FPN_STRIDES[:4],
-            output_size=7, k_min=2, backend=self.config.resolved_roi_backend(),
+            output_size=7, k_min=2, backend=backend,
         )  # (B, R, 7, 7, C)
         x = feats.reshape(b * r, -1).astype(self.policy.compute_dtype)
         x = nn.relu(nn.Dense(1024, name="fc1", **conv_kw)(x))
