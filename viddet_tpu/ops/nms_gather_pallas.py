@@ -277,14 +277,33 @@ def _finalize_kernel(g, k, m, c, j, topk):
     processes a GROUP of ``g`` images: the per-step fixed cost (DMA
     latency on six tiny buffers + pipeline overhead) dominated the
     per-image grid (~9 us/image measured, vs ~100k flops of real work).
+
+    Layout rule (measured, docs/perf_notes.md): every per-candidate
+    intermediate lives as a (topk, 1) COLUMN.  ``q`` arrives lane-major
+    (1, topk); 1-D math on it makes each later ``[:, None]`` a
+    lane->sublane relayout, which Mosaic serializes.  One exact MXU
+    transpose at entry (contract identity over the lane dim) puts q in
+    column form; everything downstream is 2-D column/lane-broadcast math
+    and the one-hot matmuls consume the columns directly.
     """
     width = k * (m - 1)
 
     def kernel(im_ref, hi_ref, q_ref, bk_ref, cls_ref, cb_ref):
+        eye_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (topk, topk), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (topk, topk), 1)
+        ).astype(jnp.float32)
         for gi in range(g):
-            q = q_ref[gi, 0]  # (topk,) i32 indices into [cand | hot_flat]
-            q_f = q.astype(jnp.float32)
-            in_cand = (q < width).astype(jnp.float32)
+            # (1, topk) lane-major -> (topk, 1) column via one MXU
+            # transpose (exact: 1.0 * int-valued f32 products).
+            q_f = jax.lax.dot_general(
+                eye_t,
+                q_ref[gi].astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (topk, 1)
+            in_cand = (q_f < float(width)).astype(jnp.float32)  # (topk, 1)
 
             # Candidate entries: box = q // (m-1), class = i_m[box, q % (m-1)].
             box1_f, r_f = _exact_divmod(
@@ -294,9 +313,7 @@ def _finalize_kernel(g, k, m, c, j, topk):
             e_f = jnp.maximum(q_f - float(width), 0.0)
             hrow_f, cls2 = _exact_divmod(e_f, c)
             iota_j = jax.lax.broadcasted_iota(jnp.int32, (topk, j), 1)
-            oh_hot = (iota_j == hrow_f.astype(jnp.int32)[:, None]).astype(
-                jnp.float32
-            )
+            oh_hot = (iota_j == hrow_f.astype(jnp.int32)).astype(jnp.float32)
             # Box ids reach k-1 >= 256 (not bf16-exact): gather the low and
             # high halves separately — both < 256, each bf16-exact.
             hi_f = hi_ref[gi].astype(jnp.float32)  # (1, j)
@@ -307,7 +324,7 @@ def _finalize_kernel(g, k, m, c, j, topk):
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (topk, 2): [low, high]
-            box2 = box2[:, 0] + 128.0 * box2[:, 1]
+            box2 = box2[:, 0:1] + 128.0 * box2[:, 1:2]  # (topk, 1)
 
             # ONE one-hot + ONE matmul for classes AND boxes: candidate
             # entries have box_sel == box1, so their class rows gather
@@ -315,11 +332,9 @@ def _finalize_kernel(g, k, m, c, j, topk):
             # cls2 and ignore the gathered class columns.  (Materializing
             # a (topk, k) one-hot costs more than every matmul here, so
             # build exactly one.)
-            box_sel = in_cand * box1_f + (1.0 - in_cand) * box2
+            box_sel = in_cand * box1_f + (1.0 - in_cand) * box2  # (topk, 1)
             iota_k = jax.lax.broadcasted_iota(jnp.int32, (topk, k), 1)
-            oh_sel = (iota_k == box_sel.astype(jnp.int32)[:, None]).astype(
-                jnp.float32
-            )
+            oh_sel = (iota_k == box_sel.astype(jnp.int32)).astype(jnp.float32)
             payload = jnp.concatenate(
                 [im_ref[gi, :, : m - 1].astype(jnp.float32), bk_ref[gi]],
                 axis=-1,
@@ -331,10 +346,15 @@ def _finalize_kernel(g, k, m, c, j, topk):
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )  # (topk, m-1+4) — exact 1.0 * f32 products
-            cls1 = jnp.zeros((topk,), jnp.float32)
-            for t in range(m - 1):
-                cls1 = jnp.where(r_f == float(t), gath[:, t], cls1)
-            cls_ref[gi, 0] = in_cand * cls1 + (1.0 - in_cand) * cls2
+            iota_r = jax.lax.broadcasted_iota(jnp.int32, (topk, m - 1), 1)
+            cls1 = jnp.sum(
+                jnp.where(
+                    iota_r == r_f.astype(jnp.int32), gath[:, : m - 1], 0.0
+                ),
+                axis=1,
+                keepdims=True,
+            )  # exact: exactly one nonzero term per row
+            cls_ref[gi] = in_cand * cls1 + (1.0 - in_cand) * cls2  # (topk, 1)
             cb_ref[gi] = gath[:, m - 1 :]
 
     return kernel
@@ -365,11 +385,11 @@ def finalize_candidates(
             pl.BlockSpec((g, k, 4), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((g, 1, topk), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, topk, 1), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, topk, 4), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, 1, topk), jnp.float32),
+            jax.ShapeDtypeStruct((b, topk, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, topk, 4), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -377,7 +397,7 @@ def finalize_candidates(
         ),
         interpret=interpret,
     )(i_m, hot_idx, q.reshape(b, 1, topk), boxes_k)
-    return cls_idx[:, 0], cand_boxes
+    return cls_idx[:, :, 0], cand_boxes
 
 
 def _score_kernel(g, meta, num_pred):

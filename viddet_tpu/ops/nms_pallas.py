@@ -29,36 +29,55 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 
-def _greedy_rows_kernel(sup_ref, valid_ref, keep_ref, keep_scratch):
-    """Grid step i: suppress later candidates of every image by row i.
+def _greedy_rows_kernel(r, sup_ref, valid_ref, keep_ref, keep_scratch):
+    """Grid step s: suppress later candidates of every image by ranks
+    s*r .. s*r+r-1, in rank order.
 
-    sup_ref: (1, B, K) bf16 block — row i of each image's suppress matrix.
-    valid_ref / keep_ref: (B, K) f32 full arrays.
+    The serial dependency is through the keep bits only, so the r ranks of
+    one step unroll serially in-register — same ALU work as r separate
+    steps but one grid step's worth of fixed sequencer/DMA overhead
+    (~2.2 us/step measured at r=1, which dominated the ~0.3 us of vector
+    work; see docs/perf_notes.md).
+
+    sup_ref: (r, B, K) bf16 block — rows s*r.. of each image's suppress
+    matrix.  valid_ref / keep_ref: (B, K) f32 full arrays.
     keep_scratch: persistent (B, K) f32 VMEM accumulator.
     """
-    i = pl.program_id(0)
+    s = pl.program_id(0)
 
-    @pl.when(i == 0)
+    @pl.when(s == 0)
     def _():
         keep_scratch[:] = valid_ref[:]
 
     keep = keep_scratch[:]
     col = jax.lax.broadcasted_iota(jnp.int32, keep.shape, 1)
-    keep_i = jnp.sum(jnp.where(col == i, keep, 0.0), axis=1, keepdims=True)  # (B,1)
-    row = sup_ref[0].astype(jnp.float32)  # (B, K)
-    keep_scratch[:] = keep * (1.0 - keep_i * row)
+    for rr in range(r):
+        i = s * r + rr
+        keep_i = jnp.sum(
+            jnp.where(col == i, keep, 0.0), axis=1, keepdims=True
+        )  # (B, 1)
+        row = sup_ref[rr].astype(jnp.float32)  # (B, K)
+        keep = keep * (1.0 - keep_i * row)
+    keep_scratch[:] = keep
 
-    @pl.when(i == pl.num_programs(0) - 1)
+    @pl.when(s == pl.num_programs(0) - 1)
     def _():
-        keep_ref[:] = keep_scratch[:]
+        keep_ref[:] = keep
+
+def _ranks_per_step(k: int, cap: int = 8) -> int:
+    """Largest divisor of ``k`` up to ``cap`` (grid steps must tile K)."""
+    return next(r for r in range(cap, 0, -1) if k % r == 0)
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thresh", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("iou_thresh", "interpret", "ranks_per_step")
+)
 def nms_keep_mask_pallas(
     boxes: jnp.ndarray,
     valid: jnp.ndarray,
     iou_thresh: float,
     interpret: bool = False,
+    ranks_per_step: int | None = None,
 ) -> jnp.ndarray:
     """Batched greedy NMS keep mask.
 
@@ -91,14 +110,15 @@ def nms_keep_mask_pallas(
     iou = inter / jnp.maximum(area_a + area_c - inter, 1e-12)
     sup = ((iou > iou_thresh) & upper).astype(jnp.bfloat16)  # (K, B, K)
 
+    r = ranks_per_step or _ranks_per_step(k)
     keep = pl.pallas_call(
-        _greedy_rows_kernel,
-        grid=(k,),
+        functools.partial(_greedy_rows_kernel, r),
+        grid=(k // r,),
         in_specs=[
-            pl.BlockSpec((1, b, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, b, k), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda s: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((b, k), lambda s: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, k), jnp.float32),
         scratch_shapes=[pltpu.VMEM((b, k), jnp.float32)],
         interpret=interpret,
