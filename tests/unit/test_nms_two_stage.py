@@ -109,3 +109,34 @@ def test_two_stage_bf16_logits():
     kept = scores[0] >= 0
     assert kept.any()
     assert np.all(np.diff(scores[0][kept]) <= 1e-6)
+
+
+def test_pallas_kernel_rank_grouping_matches_oracle():
+    """ranks_per_step grouping must not change the greedy scan: sweep
+    explicit r values and odd K (prime, non-multiple-of-8)."""
+    rng = np.random.default_rng(7)
+    for k, rs in ((64, (1, 4, 8, 16)), (37, (1,)), (50, (2, 5)), (40, (8,))):
+        pts = rng.uniform(0, 60, size=(2, k, 2, 2)).astype(np.float32)
+        boxes = np.concatenate([pts.min(2), pts.max(2)], axis=-1)
+        valid = rng.uniform(size=(2, k)) > 0.2
+        want = np.stack(
+            [
+                np.asarray(
+                    nms_keep_mask(
+                        jnp.asarray(boxes[i]), None, jnp.asarray(valid[i]), 0.5
+                    )
+                )
+                for i in range(2)
+            ]
+        )
+        for r in rs:
+            got = np.asarray(
+                nms_keep_mask_pallas(
+                    jnp.asarray(boxes),
+                    jnp.asarray(valid),
+                    0.5,
+                    interpret=True,
+                    ranks_per_step=r,
+                )
+            )
+            np.testing.assert_array_equal(got > 0.5, want, err_msg=f"k={k} r={r}")
