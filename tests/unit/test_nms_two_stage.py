@@ -140,3 +140,38 @@ def test_pallas_kernel_rank_grouping_matches_oracle():
                 )
             )
             np.testing.assert_array_equal(got > 0.5, want, err_msg=f"k={k} r={r}")
+
+
+def test_compact_kernel_matches_oracle_edge_cases():
+    """compact_and_pad_pallas == _compact_and_pad bit-for-bit.
+
+    Covers: more kept than post_nms (overflow dropped), zero kept,
+    all kept, and a batch size whose only group divisor is g=1.
+    """
+    from viddet_tpu.ops.nms import _compact_and_pad
+    from viddet_tpu.ops.nms_pallas import compact_and_pad_pallas
+
+    rng = np.random.default_rng(7)
+    for b, k, post in [(5, 96, 24), (8, 128, 100), (7, 64, 8)]:
+        pts = rng.uniform(0, 200, size=(b, k, 2, 2)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([pts.min(2), pts.max(2)], axis=-1))
+        scores = jnp.asarray(
+            -np.sort(-rng.uniform(size=(b, k)).astype(np.float32), axis=1)
+        )
+        cls_idx = jnp.asarray(
+            rng.integers(0, 20, size=(b, k)).astype(np.float32)
+        )
+        keep = rng.uniform(size=(b, k)) > 0.4
+        keep[0] = True   # all kept: overflow past post_nms dropped
+        keep[1] = False  # none kept: all padding
+        keep = jnp.asarray(keep)
+
+        want = jax.vmap(_compact_and_pad, in_axes=(0, 0, 0, 0, None))(
+            boxes, scores, cls_idx, keep, post
+        )
+        got = compact_and_pad_pallas(
+            keep.astype(jnp.float32), scores, cls_idx, boxes, post,
+            interpret=True,
+        )
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

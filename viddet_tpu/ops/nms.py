@@ -167,12 +167,20 @@ def _nms_on_candidates(cand_boxes, top_scores, cls_idx, valid, iou_thresh, post_
             offset_boxes, valid
         )
     else:
-        from viddet_tpu.ops.nms_pallas import nms_keep_mask_pallas
+        from viddet_tpu.ops.nms_pallas import (
+            compact_and_pad_pallas,
+            nms_keep_mask_pallas,
+        )
 
+        interp = backend == "pallas_interpret"
         keep = nms_keep_mask_pallas(
-            offset_boxes, valid, iou_thresh,
-            interpret=(backend == "pallas_interpret"),
-        ) > 0.5
+            offset_boxes, valid, iou_thresh, interpret=interp
+        )
+        # Keep the whole tail on-chip: compaction as exact MXU matmuls
+        # (bit-identical to _compact_and_pad — see nms_pallas._compact_kernel).
+        return compact_and_pad_pallas(
+            keep, top_scores, cls_idx, cand_boxes, post_nms, interpret=interp
+        )
     return jax.vmap(_compact_and_pad, in_axes=(0, 0, 0, 0, None))(
         cand_boxes, top_scores, cls_idx, keep, post_nms
     )

@@ -69,6 +69,126 @@ def _ranks_per_step(k: int, cap: int = 8) -> int:
     return next(r for r in range(cap, 0, -1) if k % r == 0)
 
 
+def _compact_kernel(g, k, post):
+    """Compact kept candidates to the front (score order), pad with -1.
+
+    Exact equivalent of ``ops.nms._compact_and_pad`` (the jnp oracle) as
+    one grid step per group of ``g`` images:
+
+    * the inclusive cumsum over keep bits is a (g, K) x (K, K)
+      upper-triangular-ones matmul on the MXU (exact: 0/1 sums <= K);
+    * the s-th output slot's gather is a one-hot (post, K) contraction
+      against the [cls | score | box] payload;
+    * scores/classes arrive lane-major (1, K) rows and are transposed to
+      columns with ONE exact MXU contraction against the identity (the
+      finalize-kernel layout lesson: Mosaic serializes lane->sublane
+      relayouts, the MXU does them for free).
+    """
+
+    def kernel(keep_ref, sc_ref, cls_ref, bx_ref, ids_ref, osc_ref, obx_ref):
+        tri = (
+            jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+            <= jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+        ).astype(jnp.float32)  # U[i, j] = i <= j  -> inclusive cumsum
+        eye = (
+            jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+        ).astype(jnp.float32)
+        pos = jax.lax.dot_general(
+            keep_ref[...],
+            tri,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (g, K) inclusive counts
+        iota_post = jax.lax.broadcasted_iota(jnp.float32, (post, k), 0)
+        for gi in range(g):
+            keep_row = keep_ref[gi : gi + 1, :]  # (1, K) 0/1 f32
+            slot_row = pos[gi : gi + 1, :] - 1.0  # (1, K)
+            oh = (
+                (iota_post == slot_row) & (keep_row > 0.5)
+            ).astype(jnp.float32)  # (post, K): slot s <- (s+1)-th kept cand
+            lanes = jnp.concatenate(
+                [cls_ref[gi : gi + 1, :], sc_ref[gi : gi + 1, :]], axis=0
+            )  # (2, K) lane-major
+            cols = jax.lax.dot_general(
+                eye,
+                lanes,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (K, 2) columns [cls | score]
+            payload = jnp.concatenate([cols, bx_ref[gi]], axis=-1)  # (K, 6)
+            gath = jax.lax.dot_general(
+                oh,
+                payload,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (post, 6) — exact 1.0 * f32 products
+            filled = jnp.sum(oh, axis=1, keepdims=True) > 0.5  # (post, 1)
+            gath = jnp.where(filled, gath, -1.0)
+            ids_ref[gi] = gath[:, 0:1]
+            osc_ref[gi] = gath[:, 1:2]
+            obx_ref[gi] = gath[:, 2:6]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("post_nms", "interpret"))
+def compact_and_pad_pallas(
+    keep: jnp.ndarray,
+    scores: jnp.ndarray,
+    cls_idx: jnp.ndarray,
+    boxes: jnp.ndarray,
+    post_nms: int,
+    interpret: bool = False,
+):
+    """Batched kept-candidate compaction (see ``_compact_kernel``).
+
+    Args:
+      keep: (B, K) 0/1 float keep mask (the greedy-scan output).
+      scores / cls_idx: (B, K) float32, score-sorted candidate order.
+      boxes: (B, K, 4) float32 corner boxes.
+
+    Returns (ids, scores, boxes): (B, post_nms) / (B, post_nms) /
+    (B, post_nms, 4), kept candidates front-compacted, -1 padded —
+    exactly ``ops.nms._compact_and_pad``.
+    """
+    b, k = keep.shape
+    g = next(gg for gg in range(8, 0, -1) if b % gg == 0)
+    ids, osc, obx = pl.pallas_call(
+        _compact_kernel(g, k, post_nms),
+        grid=(b // g,),
+        in_specs=[
+            pl.BlockSpec((g, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, k, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((g, post_nms, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, post_nms, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, post_nms, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, post_nms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, post_nms, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, post_nms, 4), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        keep.astype(jnp.float32),
+        scores.astype(jnp.float32),
+        cls_idx.astype(jnp.float32),
+        boxes,
+    )
+    return ids[:, :, 0], osc[:, :, 0], obx
+
+
 @functools.partial(
     jax.jit, static_argnames=("iou_thresh", "interpret", "ranks_per_step")
 )
