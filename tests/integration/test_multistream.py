@@ -186,3 +186,29 @@ def test_detect_cli_two_videos(videos, tmp_path):
     ])
     assert os.path.exists(os.path.join(out, "a_det.txt"))
     assert os.path.exists(os.path.join(out, "b_det.txt"))
+
+
+def test_decode_error_propagates_not_truncates():
+    """A source that dies mid-stream must raise in the consumer (with the
+    original exception as cause), not silently end the stream early."""
+    infer, variables = _make_single_frame_infer()
+
+    def good():
+        for i in range(6):
+            yield i, None, np.zeros((64, 64, 3), np.float32), np.eye(3, dtype=np.float32)
+
+    def bad():
+        yield 0, None, np.zeros((64, 64, 3), np.float32), np.eye(3, dtype=np.float32)
+        raise ValueError("corrupt frame")
+
+    with pytest.raises(RuntimeError, match="stream 'bad' failed") as ei:
+        for _ in stream_detect_multi(
+            {"good": good(), "bad": bad()},
+            infer,
+            variables,
+            batch_size=4,
+            input_shape=(64, 64),
+            flush_ms=50.0,
+        ):
+            pass
+    assert isinstance(ei.value.__cause__, ValueError)

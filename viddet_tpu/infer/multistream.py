@@ -106,19 +106,46 @@ class _SourceState:
     done: bool = False
 
 
+@dataclass
+class _StreamError:
+    """Forwarded decode-thread failure; the consumer re-raises it."""
+
+    stream: str
+    exc: BaseException
+
+
+def _put(out_q: "queue.Queue", item, stop: threading.Event) -> bool:
+    """Stop-aware blocking put: never deadlocks a feeder on a full queue
+    after the consumer has gone away (the loader's abandoned-iterator
+    lesson, data/loader.py)."""
+    while not stop.is_set():
+        try:
+            out_q.put(item, timeout=0.2)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 def _feeder(name: str, source, buf: ClipBuffer, out_q: "queue.Queue", stop: threading.Event):
-    """Decode-side thread: drain one source through its clip buffer."""
+    """Decode-side thread: drain one source through its clip buffer.
+
+    Decode/transform errors are forwarded to the consumer (which re-raises)
+    rather than silently truncating the stream."""
     try:
-        for idx, rgb, x, affine in source:
-            for item in buf.push(idx, rgb, x, affine):
-                out_q.put(item)
-            if stop.is_set():
-                break
-        if not stop.is_set():
-            for item in buf.flush():
-                out_q.put(item)
+        try:
+            for idx, rgb, x, affine in source:
+                for item in buf.push(idx, rgb, x, affine):
+                    _put(out_q, item, stop)
+                if stop.is_set():
+                    break
+            if not stop.is_set():
+                for item in buf.flush():
+                    _put(out_q, item, stop)
+        except Exception as exc:  # noqa: BLE001 — forwarded, not swallowed
+            _put(out_q, _StreamError(name, exc), stop)
     finally:
-        out_q.put(name)  # end-of-stream sentinel (str, not StreamItem)
+        _put(out_q, name, stop)  # end-of-stream sentinel (str, not StreamItem)
 
 
 def stream_detect_multi(
@@ -188,6 +215,10 @@ def stream_detect_multi(
                 item = ready.get(timeout=flush_ms / 1e3 if live else 0.01)
             except queue.Empty:
                 item = None
+            if isinstance(item, _StreamError):
+                raise RuntimeError(
+                    f"stream '{item.stream}' failed during decode"
+                ) from item.exc
             if isinstance(item, str):  # end-of-stream sentinel
                 states[item].done = True
                 live -= 1
@@ -286,6 +317,10 @@ def stream_detect_videos(
             wr.close()
         for df in det_files.values():
             df.close()
+        for src in sources.values():
+            close = getattr(src, "close", None)
+            if close is not None:
+                close()
     dt = time.perf_counter() - t0
     n = sum(per_stream.values())
     stats = {

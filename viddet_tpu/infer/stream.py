@@ -46,6 +46,7 @@ class FrameSource:
         self._transform = transform
         self._every = every
         self._q: "queue.Queue" = queue.Queue(maxsize=queue_size)
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -53,17 +54,29 @@ class FrameSource:
         import cv2
 
         idx = 0
-        while True:
+        while not self._stop.is_set():
             ok, frame = self._cap.read()
             if not ok:
                 break
             if idx % self._every == 0:
                 rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
                 x, _, affine = self._transform(rgb)
-                self._q.put((idx, rgb, x, affine))
+                if not self._put((idx, rgb, x, affine)):
+                    break
             idx += 1
         self._cap.release()
-        self._q.put(None)
+        self._put(None)
+
+    def _put(self, item) -> bool:
+        # Stop-aware put: an abandoned consumer must not strand the decode
+        # thread on a full queue (the loader's abandoned-iterator lesson).
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def __iter__(self):
         while True:
@@ -71,6 +84,9 @@ class FrameSource:
             if item is None:
                 return
             yield item
+
+    def close(self):
+        self._stop.set()
 
 
 class NativeFrameSource:
