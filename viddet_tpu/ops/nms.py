@@ -178,9 +178,16 @@ def _nms_on_candidates(cand_boxes, top_scores, cls_idx, valid, iou_thresh, post_
         )
         # Keep the whole tail on-chip: compaction as exact MXU matmuls
         # (bit-identical to _compact_and_pad — see nms_pallas._compact_kernel).
-        return compact_and_pad_pallas(
-            keep, top_scores, cls_idx, cand_boxes, post_nms, interpret=interp
-        )
+        # On hardware the kernel is gated by VIDDET_COMPACT_KERNEL until its
+        # first on-chip compile+parity run (Mosaic acceptance is not provable
+        # from interpret mode; tools/tpu_parity_check.py flips the evidence).
+        import os as _os
+
+        if interp or _os.environ.get("VIDDET_COMPACT_KERNEL", "0") == "1":
+            return compact_and_pad_pallas(
+                keep, top_scores, cls_idx, cand_boxes, post_nms, interpret=interp
+            )
+        keep = keep > 0.5
     return jax.vmap(_compact_and_pad, in_axes=(0, 0, 0, 0, None))(
         cand_boxes, top_scores, cls_idx, keep, post_nms
     )
