@@ -104,6 +104,36 @@ def build_variants(group, b, k, topk, m, j, c, interpret=False):
         )
         variants.append(("finalize", body, (i_m, hot_idx, q, boxes)))
 
+    if group in ("all", "compact"):
+        from viddet_tpu.ops.nms_pallas import compact_and_pad_pallas
+
+        keepf = (valid & (scores > 0.001)).astype(jnp.float32)
+
+        def compact_pallas_once(bb, sc, ci, kf):
+            out = compact_and_pad_pallas(
+                kf, sc, ci, bb, 100, interpret=interpret
+            )
+            return sum(jnp.sum(o) for o in out)
+
+        def compact_xla_once(bb, sc, ci, kf):
+            import jax as _jax
+
+            out = _jax.vmap(_compact_and_pad, in_axes=(0, 0, 0, 0, None))(
+                bb, sc, ci, kf > 0.5, 100
+            )
+            return sum(jnp.sum(o) for o in out)
+
+        variants.append((
+            "compact_pallas",
+            _named(chain(compact_pallas_once, 4), "compact_pallas"),
+            (boxes, scores, cls_idx, keepf),
+        ))
+        variants.append((
+            "compact_xla",
+            _named(chain(compact_xla_once, 4), "compact_xla"),
+            (boxes, scores, cls_idx, keepf),
+        ))
+
     if group in ("all", "glue"):
         import jax as _jax
 
@@ -142,7 +172,7 @@ def parse_trace(outdir):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--group", default="all",
-                   choices=("all", "scan", "finalize", "glue"))
+                   choices=("all", "scan", "finalize", "glue", "compact"))
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--topk", type=int, default=400)
     p.add_argument("--classes", type=int, default=80)
