@@ -37,3 +37,20 @@ def test_explicit_bad_coordinator_raises():
             num_processes=-3,
             process_id=0,
         )
+
+
+def test_cluster_marker_failure_raises(monkeypatch):
+    # A cluster marker in the environment means an auto-detect init failure
+    # is a REAL pod failure: re-raise, never degrade to single-host SPMD.
+    import jax
+
+    if jax.distributed.is_initialized():  # pragma: no cover - env dependent
+        pytest.skip("jax.distributed already initialized in this process")
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+
+    def boom(**kwargs):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="refusing to fall back"):
+        initialize_distributed()

@@ -212,3 +212,29 @@ def test_decode_error_propagates_not_truncates():
         ):
             pass
     assert isinstance(ei.value.__cause__, ValueError)
+
+
+def test_duplicate_basename_streams_write_distinct_outputs(tmp_path):
+    """'/x/a.mp4' and '/y/a.mp4' share a basename; their det txts (and
+    annotated mp4s) must not collapse onto one path."""
+    from viddet_tpu.data.transforms import ValTransform
+    from viddet_tpu.infer.multistream import stream_detect_videos
+
+    path = _write_video(str(tmp_path / "a.mp4"), 6, offset=0)
+    infer, variables = _make_single_frame_infer()
+    out = str(tmp_path / "out")
+    stats = stream_detect_videos(
+        [path, path],
+        infer,
+        variables,
+        ValTransform((64, 64)),
+        ["c0", "c1"],
+        output_dir=out,
+        thresh=0.0,
+        batch_size=4,
+        draw=False,
+        save_detections=True,
+    )
+    txts = sorted(os.listdir(out))
+    assert txts == ["a_1_det.txt", "a_det.txt"], txts
+    assert stats["frames"] == 12

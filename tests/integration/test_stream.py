@@ -99,3 +99,31 @@ def test_stream_detect_video_native_path(video, tmp_path):
     )
     assert stats["frames"] == 14
     assert os.path.exists(os.path.join(out_dir, "clip_det.txt"))
+
+
+def test_frame_source_close_wakes_consumer(tmp_path):
+    """close() must terminate a blocked consumer even though the decode
+    thread can no longer enqueue its None sentinel."""
+    import time
+
+    import numpy as np
+
+    from viddet_tpu.data.transforms import ValTransform
+    from viddet_tpu.infer.stream import FrameSource
+
+    path = str(tmp_path / "v.mp4")
+    import cv2
+
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    for _ in range(200):
+        vw.write(np.zeros((48, 64, 3), np.uint8))
+    vw.release()
+
+    src = FrameSource(path, ValTransform((64, 64)), queue_size=4)
+    it = iter(src)
+    next(it)
+    src.close()
+    t0 = time.perf_counter()
+    for _ in it:  # must drain/terminate promptly, not hang on q.get()
+        pass
+    assert time.perf_counter() - t0 < 5.0

@@ -254,3 +254,4 @@ def test_imgnet_det_allow_empty(det_root):
 
     ds = ImageNetDetection(det_root, split="train", allow_empty=True)
     assert len(ds) == 3
+

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from viddet_tpu.ops.nms import (
     multiclass_nms,
@@ -175,3 +176,11 @@ def test_compact_kernel_matches_oracle_edge_cases():
         )
         for w, g in zip(want, got):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_scan_kernel_rejects_non_divisor_ranks_per_step():
+    """A floored grid would silently skip the last K % r suppression ranks."""
+    boxes = jnp.zeros((2, 10, 4), jnp.float32)
+    valid = jnp.ones((2, 10), bool)
+    with pytest.raises(ValueError, match="must divide"):
+        nms_keep_mask_pallas(boxes, valid, 0.45, interpret=True, ranks_per_step=4)

@@ -39,7 +39,15 @@ def default_nms_backend() -> str:
     import os
 
     env = os.environ.get("VIDDET_NMS_BACKEND")
-    if env in ("pallas", "xla", "pallas_interpret"):
+    if env:
+        if env not in ("pallas", "xla", "pallas_interpret"):
+            # This flag exists for kernel-verification routing — a typo'd
+            # value silently running the default backend is a silent no-op
+            # exactly where the user is trying to pin behavior.
+            raise ValueError(
+                f"VIDDET_NMS_BACKEND={env!r} is not one of "
+                "'pallas' / 'xla' / 'pallas_interpret'"
+            )
         return env
     return "xla" if get_platform() == "cpu" else "pallas"
 
@@ -66,6 +74,11 @@ def conv_backend() -> str:
     import os
 
     env = os.environ.get("VIDDET_CONV_BACKEND")
-    if env in ("pallas", "xla", "pallas_interpret"):
+    if env:
+        if env not in ("pallas", "xla", "pallas_interpret"):
+            raise ValueError(
+                f"VIDDET_CONV_BACKEND={env!r} is not one of "
+                "'pallas' / 'xla' / 'pallas_interpret'"
+            )
         return env
     return "xla"

@@ -115,16 +115,9 @@ class _StreamError:
 
 
 def _put(out_q: "queue.Queue", item, stop: threading.Event) -> bool:
-    """Stop-aware blocking put: never deadlocks a feeder on a full queue
-    after the consumer has gone away (the loader's abandoned-iterator
-    lesson, data/loader.py)."""
-    while not stop.is_set():
-        try:
-            out_q.put(item, timeout=0.2)
-            return True
-        except queue.Full:
-            continue
-    return False
+    from viddet_tpu.infer.stream import stop_aware_put
+
+    return stop_aware_put(out_q, item, stop)
 
 
 def _feeder(name: str, source, buf: ClipBuffer, out_q: "queue.Queue", stop: threading.Event):
@@ -273,7 +266,10 @@ def stream_detect_videos(
     writers: Dict[str, VideoWriter] = {}
     det_files: Dict[str, object] = {}
     for name, src in sources.items():
-        stem = os.path.splitext(name)[0].replace("#", "_")
+        # 'a.mp4#1' must not collapse to the same stem as 'a.mp4' (splitext
+        # would eat the '#1' with the extension) — keep the dedup tag.
+        base, _, tag = name.partition("#")
+        stem = os.path.splitext(base)[0] + (f"_{tag}" if tag else "")
         if draw:
             writers[name] = VideoWriter(
                 os.path.join(output_dir, f"{stem}_det.mp4"),

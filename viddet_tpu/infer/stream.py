@@ -31,6 +31,21 @@ import numpy as np
 from viddet_tpu.data.transforms import invert_affine_to_boxes
 
 
+def stop_aware_put(q: "queue.Queue", item, stop: threading.Event) -> bool:
+    """Blocking put that gives up once ``stop`` is set.
+
+    An abandoned consumer must not strand a producer thread on a full
+    queue forever (the loader's abandoned-iterator lesson,
+    data/loader.py).  Returns False when the item was dropped."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.2)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 class FrameSource:
     """Decodes frames from a video file (or webcam index) on its own thread."""
 
@@ -68,19 +83,19 @@ class FrameSource:
         self._put(None)
 
     def _put(self, item) -> bool:
-        # Stop-aware put: an abandoned consumer must not strand the decode
-        # thread on a full queue (the loader's abandoned-iterator lesson).
-        while not self._stop.is_set():
-            try:
-                self._q.put(item, timeout=0.2)
-                return True
-            except queue.Full:
-                continue
-        return False
+        return stop_aware_put(self._q, item, self._stop)
 
     def __iter__(self):
+        # get() with a bounded timeout so close() wakes a blocked consumer
+        # even when the decode thread exits without enqueueing the None
+        # sentinel (its _put is refused once _stop is set).
         while True:
-            item = self._q.get()
+            try:
+                item = self._q.get(timeout=0.2)
+            except queue.Empty:
+                if self._stop.is_set():
+                    return
+                continue
             if item is None:
                 return
             yield item

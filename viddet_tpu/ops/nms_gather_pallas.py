@@ -63,7 +63,9 @@ def _group_size(b: int, cap: int = 8) -> int:
     overhead (measured on v5e) regardless of block size, which dominates
     these small per-image kernels at batch 128 — amortize it over the
     largest divisor of ``b`` up to ``cap``."""
-    return next(g for g in range(cap, 0, -1) if b % g == 0)
+    from viddet_tpu.ops.nms_pallas import largest_divisor
+
+    return largest_divisor(b, cap)
 
 
 def _exact_divmod(n_f: jnp.ndarray, d: int) -> Tuple[jnp.ndarray, jnp.ndarray]:

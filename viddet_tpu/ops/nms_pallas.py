@@ -64,9 +64,21 @@ def _greedy_rows_kernel(r, sup_ref, valid_ref, keep_ref, keep_scratch):
     def _():
         keep_ref[:] = keep
 
+def largest_divisor(n: int, cap: int = 8) -> int:
+    """Largest divisor of ``n`` up to ``cap``.
+
+    The shared grid-grouping rule: grid steps must tile the axis exactly
+    (a floored ``n // r`` grid would silently skip the remainder), and
+    grouping amortizes the ~2.2 us/step fixed sequencer/DMA overhead
+    (docs/perf_notes.md).  Used for ranks-per-step in the greedy scan,
+    images-per-step in the compact kernel, and the finalize kernel's
+    group size (``nms_gather_pallas._group_size``)."""
+    return next(r for r in range(cap, 0, -1) if n % r == 0)
+
+
 def _ranks_per_step(k: int, cap: int = 8) -> int:
     """Largest divisor of ``k`` up to ``cap`` (grid steps must tile K)."""
-    return next(r for r in range(cap, 0, -1) if k % r == 0)
+    return largest_divisor(k, cap)
 
 
 def _compact_kernel(g, k, post):
@@ -156,7 +168,7 @@ def compact_and_pad_pallas(
     exactly ``ops.nms._compact_and_pad``.
     """
     b, k = keep.shape
-    g = next(gg for gg in range(8, 0, -1) if b % gg == 0)
+    g = largest_divisor(b)
     ids, osc, obx = pl.pallas_call(
         _compact_kernel(g, k, post_nms),
         grid=(b // g,),
@@ -231,6 +243,13 @@ def nms_keep_mask_pallas(
     sup = ((iou > iou_thresh) & upper).astype(jnp.bfloat16)  # (K, B, K)
 
     r = ranks_per_step or _ranks_per_step(k)
+    if k % r:
+        # A floored k // r grid would skip the last k % r suppression ranks
+        # entirely — a silently wrong keep mask (same guard as
+        # conv_pallas.conv_down2_bn_leaky's rows_per_chunk).
+        raise ValueError(
+            f"ranks_per_step={r} must divide the candidate count K={k}"
+        )
     keep = pl.pallas_call(
         functools.partial(_greedy_rows_kernel, r),
         grid=(k // r,),

@@ -20,6 +20,7 @@ backend (SURVEY.md §6).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -54,7 +55,37 @@ def initialize_distributed(
     if jax.distributed.is_initialized():
         log.info("jax.distributed already initialized; skipping")
         return
-    explicit = coordinator_address is not None
+    # "Detectable" is an actual check, not a hope: a multi-process marker
+    # in the environment means an init failure is a REAL failure on a real
+    # pod — swallowing it would train each host independently (silently
+    # wrong).  Single-worker TPU VMs legitimately carry
+    # TPU_WORKER_HOSTNAMES with ONE host, so count-like markers only fire
+    # when they actually imply more than one process.
+    def _marker() -> Optional[str]:
+        for v in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+        ):
+            if os.environ.get(v):
+                return v
+        for v in ("JAX_NUM_PROCESSES", "SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE"):
+            try:
+                if int(os.environ.get(v, "")) > 1:
+                    return v
+            except ValueError:
+                pass
+        hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if len([h for h in hosts.split(",") if h.strip()]) > 1:
+            return "TPU_WORKER_HOSTNAMES"
+        return None
+
+    cluster_marker = _marker()
+    explicit = (
+        coordinator_address is not None
+        or (num_processes or 1) > 1
+        or cluster_marker is not None
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -64,9 +95,10 @@ def initialize_distributed(
     except (RuntimeError, ValueError) as e:
         if explicit:
             raise RuntimeError(
-                "jax.distributed.initialize failed with an explicit "
-                f"coordinator ({coordinator_address}); refusing to fall "
-                "back to single-host SPMD"
+                "jax.distributed.initialize failed with a coordinator "
+                f"configured (arg={coordinator_address!r}, "
+                f"env marker={cluster_marker!r}); refusing to fall back "
+                "to single-host SPMD"
             ) from e
         log.info("single-process environment (no coordinator): %s", e)
         return
