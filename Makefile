@@ -15,6 +15,15 @@ test-unit:
 bench:
 	python bench.py
 
+# full on-chip validation ladder (run when the TPU tunnel is up):
+# parity gates first, compact-kernel timing, then the headline bench.
+chipcheck:
+	python tools/tpu_parity_check.py
+	python tools/trace_tail.py --group compact
+	VIDDET_COMPACT_KERNEL=1 python tools/tpu_parity_check.py
+	python bench.py
+	VIDDET_COMPACT_KERNEL=1 python bench.py
+
 # build the C++ host decode library (also auto-built on first import)
 native:
 	python -c "from viddet_tpu import native; assert native.available(), native.build_error(); print('native lib OK')"
