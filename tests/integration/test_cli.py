@@ -129,3 +129,27 @@ def test_evaluate_cli_vid_motion_iou(tmp_path, caplog):
     messages = " ".join(r.getMessage() for r in caplog.records)
     for mode in ("mAP(slow)", "mAP(medium)", "mAP(fast)"):
         assert mode in messages
+
+
+def test_evaluate_save_and_rescore_detections(tmp_path, caplog):
+    """--save-detections then --from-detections must reproduce the exact
+    metric values without running the model (SURVEY.md §4.2: the reference
+    evaluate.py writes/reads detection files)."""
+    from viddet_tpu.cli.evaluate import main
+
+    dets = str(tmp_path / "dets.jsonl")
+    base = [
+        "--network", "yolo3_tiny_darknet", "--dataset", "synthetic",
+        "--data-root", "synthetic", "--data-shape", "64",
+        "--batch-size", "4", "--max-images", "8", "--num-workers", "0",
+    ]
+
+    def map_lines():
+        return [r.message for r in caplog.records if "mAP" in r.message]
+
+    main(base + ["--save-detections", dets])
+    first = map_lines()[-1]
+    assert sum(1 for _ in open(dets)) == 8
+    caplog.clear()
+    main(base + ["--from-detections", dets])
+    assert map_lines()[-1] == first

@@ -12,6 +12,7 @@ Example:
 from __future__ import annotations
 
 import argparse
+import json
 import time
 
 import jax
@@ -34,6 +35,14 @@ def parse_args(argv=None):
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--letterbox", action="store_true", default=False)
     p.add_argument("--max-images", type=int, default=0, help="0 = all")
+    p.add_argument("--save-detections", default="",
+                   help="write per-image detections (original coords) to "
+                        "this jsonl file while evaluating")
+    p.add_argument("--from-detections", default="",
+                   help="re-score a saved detections jsonl against the "
+                        "dataset GT without running the model (the "
+                        "reference evaluate.py's write/read detection "
+                        "files — SURVEY.md §4.2)")
     p.add_argument("--temporal-k", type=int, default=1,
                    help="k-frame clip window for VID temporal models")
     p.add_argument("--temporal-stride", type=int, default=1)
@@ -80,6 +89,7 @@ def evaluate(module, variables, dataset, metric, args, logger):
     )
     t0 = time.time()
     seen = 0
+    det_file = open(args.save_detections, "w") if args.save_detections else None
     # explicit iterator so an early --max-images break closes the generator
     # deterministically (its finally block stops the prefetch workers)
     batches = iter(loader)
@@ -106,12 +116,61 @@ def evaluate(module, variables, dataset, metric, args, logger):
             metric.update_with_indices(boxes_orig, ids, scores, idxs[:n])
         else:
             metric.update(boxes_orig, ids, scores, gt_orig, gt_ids[:n], difficult[:n] if difficult is not None else None)
+        if det_file is not None:
+            for i in range(n):
+                keep = ids[i] >= 0
+                det_file.write(json.dumps({
+                    "index": int(idxs[i]),
+                    "ids": ids[i][keep].astype(int).tolist(),
+                    "scores": scores[i][keep].astype(float).tolist(),
+                    "boxes": boxes_orig[i][keep].astype(float).tolist(),
+                }) + "\n")
         seen += n
         if args.max_images and seen >= args.max_images:
             batches.close()
             break
+    if det_file is not None:
+        det_file.close()
+        logger.info("detections written to %s", args.save_detections)
     dt = time.time() - t0
     logger.info("evaluated %d images in %.1fs (%.1f img/s)", seen, dt, seen / dt)
+    return metric.get()
+
+
+def rescore_from_detections(dataset, metric, path, logger):
+    """Feed a saved detections jsonl back into the metric — no model run.
+
+    The reference's evaluate.py can re-score previously written detection
+    files (SURVEY.md §4.2); detections were saved in ORIGINAL image
+    coordinates, which is exactly the metric protocol, and GT comes from
+    ``dataset.label(idx)`` without decoding images.
+    """
+    t0 = time.time()
+    seen = 0
+    with_idx = hasattr(metric, "update_with_indices")
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            idx = int(rec["index"])
+            m = len(rec["ids"])
+            ids = np.asarray(rec["ids"], np.float32).reshape(1, m)
+            scores = np.asarray(rec["scores"], np.float32).reshape(1, m)
+            boxes = np.asarray(rec["boxes"], np.float32).reshape(1, m, 4)
+            if with_idx:
+                metric.update_with_indices(boxes, ids, scores, [idx])
+            else:
+                label = dataset.label(idx)
+                g = label.shape[0]
+                metric.update(
+                    boxes, ids, scores,
+                    label[None, :, :4].astype(np.float32),
+                    label[None, :, 4].astype(np.float32),
+                    label[None, :, 5].astype(np.float32) if label.shape[1] > 5 else np.zeros((1, g), np.float32),
+                )
+            seen += 1
+    logger.info(
+        "re-scored %d images from %s in %.1fs", seen, path, time.time() - t0
+    )
     return metric.get()
 
 
@@ -126,6 +185,16 @@ def main(argv=None):
     dataset, metric_factory = get_dataset(
         args.dataset, args.data_root, split="val", **ds_kw
     )
+    if args.from_detections:
+        metric = metric_factory(list(dataset.classes))
+        names, values = rescore_from_detections(
+            dataset, metric, args.from_detections, logger
+        )
+        width = max(len(str(n)) for n in names)
+        for name, value in zip(names, values):
+            logger.info("%-*s %s", width, name,
+                        f"{value:.4f}" if isinstance(value, float) else value)
+        return
     if temporal:
         from viddet_tpu.models.zoo import temporal_yolo3_custom
 
