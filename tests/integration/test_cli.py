@@ -153,3 +153,16 @@ def test_evaluate_save_and_rescore_detections(tmp_path, caplog):
     caplog.clear()
     main(base + ["--from-detections", dets])
     assert map_lines()[-1] == first
+
+
+def test_evaluate_cli_combined_dataset(tmp_path, caplog):
+    """'--dataset synthetic+synthetic' exercises the CombinedDetection CLI
+    wiring (reference datasets/combined.py, SURVEY.md §3.1 item 5)."""
+    from viddet_tpu.cli.evaluate import main
+
+    main([
+        "--network", "yolo3_tiny_darknet", "--dataset", "synthetic+synthetic",
+        "--data-root", "synthetic", "--data-shape", "64",
+        "--batch-size", "4", "--max-images", "8", "--num-workers", "0",
+    ])
+    assert any("mAP" in r.message for r in caplog.records)

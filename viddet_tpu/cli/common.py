@@ -90,6 +90,30 @@ def get_dataset(name: str, root: str, split: str = "train", **dataset_kw):
     builds the dataset's eval metric.
     """
     name = name.lower()
+    if "+" in name:
+        # Cross-dataset combination (reference datasets/combined.py —
+        # SURVEY.md §3.1 item 5): '--dataset det+vid' with a matching
+        # comma-separated '--data-root rootA,rootB' (or one root for all).
+        from viddet_tpu.data.combined import CombinedDetection
+        from viddet_tpu.eval.voc_map import VOC07MApMetric
+
+        members = name.split("+")
+        roots = root.split(",")
+        if len(roots) == 1:
+            roots = roots * len(members)
+        if len(roots) != len(members):
+            raise ValueError(
+                f"--data-root must give 1 or {len(members)} comma-separated "
+                f"roots for dataset {name!r}, got {len(roots)}"
+            )
+        children = [
+            # temporal kwargs (window/stride) only apply to VID members
+            get_dataset(m, r, split=split,
+                        **(dataset_kw if m == "vid" else {}))[0]
+            for m, r in zip(members, roots)
+        ]
+        ds = CombinedDetection(children)
+        return ds, lambda names: VOC07MApMetric(iou_thresh=0.5, class_names=names)
     if name == "synthetic" or root == "synthetic":
         from viddet_tpu.data.synthetic import SyntheticDetection
         from viddet_tpu.eval.voc_map import VOCMApMetric
@@ -133,7 +157,10 @@ def get_dataset(name: str, root: str, split: str = "train", **dataset_kw):
             root, split="train" if split == "train" else "val", **dataset_kw
         )
         return ds, lambda names: VIDDetectionMetric(ds, class_names=names)
-    raise ValueError(f"unknown dataset {name!r} (voc|coco|det|vid)")
+    raise ValueError(
+        f"unknown dataset {name!r} (voc|coco|det|vid, or '+'-combined "
+        "e.g. det+vid)"
+    )
 
 
 def build_model(network: str, dataset: str, classes=None, **kw):
