@@ -1,0 +1,114 @@
+"""Serving-path benchmark: concurrent request throughput + latency.
+
+Drives ``infer/service.py``'s continuous request batcher (the core of
+``cli/serve.py``, HTTP layer excluded so the numbers are the batcher's)
+with N client threads issuing back-to-back requests, and reports sustained
+requests/sec plus per-request latency percentiles.  The interesting
+contrast vs ``bench.py`` is the batching efficiency under independent
+callers: at concurrency >= batch size the device should see mostly-full
+batches and approach the offline fps; at concurrency 1 the p50 latency is
+the single-image cost incl. one flush window.
+
+  python tools/serve_bench.py --concurrency 16 --requests 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "LIBTPU_INIT_ARGS" not in os.environ:
+    os.environ["LIBTPU_INIT_ARGS"] = "--xla_tpu_scoped_vmem_limit_kib=65536"
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--network", default="yolo3_darknet53_coco")
+    p.add_argument("--data-shape", type=int, default=416)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--flush-ms", type=float, default=5.0)
+    p.add_argument("--concurrency", type=int, default=16)
+    p.add_argument("--requests", type=int, default=200,
+                   help="total requests across all client threads")
+    p.add_argument("--platform", default="auto", choices=("auto", "cpu", "tpu"))
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform != "auto":
+        jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
+    from viddet_tpu.data.transforms import ValTransform
+    from viddet_tpu.infer.service import DetectionService
+    from viddet_tpu.models import get_model
+    from viddet_tpu.cli.common import make_predictor, load_weights
+
+    module, _ = get_model(args.network)
+    variables = load_weights(module, "", args.data_shape)
+    infer = make_predictor(module)
+    transform = ValTransform(
+        size=(args.data_shape, args.data_shape), letterbox_resize=True
+    )
+    service = DetectionService(
+        infer, variables, transform,
+        batch_size=args.batch_size, flush_ms=args.flush_ms,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (480, 640, 3), np.uint8)
+    service.detect(img, timeout=600)  # compile warmup
+
+    per_thread = max(1, args.requests // args.concurrency)
+    latencies: list = []
+    lock = threading.Lock()
+    errors: list = []
+
+    def client():
+        mine = []
+        try:
+            for _ in range(per_thread):
+                t0 = time.perf_counter()
+                service.detect(img, timeout=600)
+                mine.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+        with lock:
+            latencies.extend(mine)
+
+    threads = [threading.Thread(target=client) for _ in range(args.concurrency)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    service.close()
+    if errors:
+        raise errors[0]
+
+    lat = np.sort(np.asarray(latencies)) * 1e3
+    n = len(lat)
+    print(json.dumps({
+        "metric": "serve_requests_per_sec",
+        "value": round(n / wall, 1),
+        "unit": "req/s",
+        "concurrency": args.concurrency,
+        "batch_size": args.batch_size,
+        "flush_ms": args.flush_ms,
+        "requests": n,
+        "p50_ms": round(float(lat[n // 2]), 2),
+        "p95_ms": round(float(lat[min(n - 1, int(n * 0.95))]), 2),
+        "p99_ms": round(float(lat[min(n - 1, int(n * 0.99))]), 2),
+        "network": args.network,
+    }))
+
+
+if __name__ == "__main__":
+    main()
