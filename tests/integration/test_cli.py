@@ -166,3 +166,33 @@ def test_evaluate_cli_combined_dataset(tmp_path, caplog):
         "--batch-size", "4", "--max-images", "8", "--num-workers", "0",
     ])
     assert any("mAP" in r.message for r in caplog.records)
+
+
+def test_train_cli_temporal_on_combined_still_dataset(tmp_path, caplog):
+    """Temporal k-frame training over a combined dataset whose members are
+    still images: stills are tiled into static clips (reference DET+VID
+    temporal semantics, SURVEY.md §4.5)."""
+    from viddet_tpu.cli.train_yolov3 import main
+
+    main([
+        "--network", "yolo3_tiny_darknet",
+        "--dataset", "synthetic+synthetic", "--data-root", "synthetic",
+        "--temporal-k", "3", "--temporal-agg", "max",
+        "--batch-size", "8", "--max-steps", "2", "--num-workers", "0",
+        "--data-shape", "64", "--no-random-shape",
+        "--save-prefix", str(tmp_path / "tcomb"),
+    ])
+    assert any("reached max-steps" in r.getMessage() for r in caplog.records)
+
+
+def test_evaluate_cli_temporal_on_combined_still_dataset(caplog):
+    from viddet_tpu.cli.evaluate import main
+
+    main([
+        "--network", "yolo3_tiny_darknet",
+        "--dataset", "synthetic+synthetic", "--data-root", "synthetic",
+        "--temporal-k", "3", "--temporal-agg", "max",
+        "--data-shape", "64", "--batch-size", "2", "--max-images", "4",
+        "--num-workers", "0",
+    ])
+    assert any("mAP" in r.message for r in caplog.records)

@@ -82,3 +82,46 @@ def test_hflip_boxes():
             np.testing.assert_allclose(ob[0, :4], [70.0, 1.0, 90.0, 5.0])
             return
     raise AssertionError("no flip in 20 seeds")
+
+
+def test_clip_transforms_tile_stills_to_static_clips():
+    """A still image through a k-aware clip transform becomes a static
+    k-frame clip (how combined DET+VID temporal training handles still
+    members — data/clip_transforms._as_clip)."""
+    from viddet_tpu.data.clip_transforms import ClipTrainTransform, ClipValTransform
+
+    img = make_image(80, 120)
+    label = np.array([[10.0, 10.0, 60.0, 70.0, 1.0, 0.0]])
+
+    val = ClipValTransform(size=(64, 64), letterbox_resize=True, k=3)
+    out, lab, affine = val(img, label)
+    assert out.shape == (3, 64, 64, 3)
+    np.testing.assert_array_equal(out[0], out[1])
+    np.testing.assert_array_equal(out[0], out[2])
+
+    train = ClipTrainTransform(size=(64, 64), k=3)
+    out_t, lab_t = train(img, label.copy(), np.random.default_rng(0))
+    assert out_t.shape == (3, 64, 64, 3)
+    # identical geometry across the tiled frames
+    np.testing.assert_array_equal(out_t[0], out_t[2])
+
+    # a true clip of the right length passes through
+    clip = np.stack([img, img, img])
+    out_c, _, _ = val(clip, label)
+    assert out_c.shape == (3, 64, 64, 3)
+
+
+def test_clip_transforms_reject_mismatched_clips():
+    import pytest
+
+    from viddet_tpu.data.clip_transforms import ClipValTransform
+
+    img = make_image(40, 40)
+    val = ClipValTransform(size=(32, 32), k=3)
+    with pytest.raises(ValueError, match="expects k=3"):
+        val(np.stack([img, img]), None)
+
+    # k unset (legacy true-clip mode) must reject stills loudly
+    val0 = ClipValTransform(size=(32, 32))
+    with pytest.raises(ValueError, match="no k set"):
+        val0(img, None)

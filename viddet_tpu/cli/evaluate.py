@@ -77,7 +77,9 @@ def evaluate(module, variables, dataset, metric, args, logger):
     if getattr(args, "temporal_k", 1) > 1:
         from viddet_tpu.data.clip_transforms import ClipValTransform
 
-        transform = ClipValTransform(size=size, letterbox_resize=args.letterbox)
+        transform = ClipValTransform(
+            size=size, letterbox_resize=args.letterbox, k=args.temporal_k
+        )
     else:
         transform = ValTransform(size=size, letterbox_resize=args.letterbox)
     loader = DetectionLoader(
@@ -180,7 +182,7 @@ def main(argv=None):
     temporal = args.temporal_k > 1
     ds_kw = (
         dict(window=args.temporal_k, stride=args.temporal_stride)
-        if temporal and args.dataset == "vid" else {}
+        if temporal and "vid" in args.dataset.split("+") else {}
     )
     dataset, metric_factory = get_dataset(
         args.dataset, args.data_root, split="val", **ds_kw

@@ -127,9 +127,12 @@ def main(argv=None):
     logger.info("args: %s", vars(args))
 
     temporal = args.temporal_k > 1
+    # window kwargs reach VID members only (combined names route them per
+    # member — cli/common.get_dataset); still-image datasets are tiled into
+    # static k-frame clips by the clip transforms below.
     ds_kw = (
         dict(window=args.temporal_k, stride=args.temporal_stride)
-        if temporal and args.dataset == "vid" else {}
+        if temporal and "vid" in args.dataset.split("+") else {}
     )
     train_ds, _ = get_dataset(args.dataset, args.data_root, split="train", **ds_kw)
     val_ds, metric_factory = get_dataset(
@@ -164,7 +167,9 @@ def main(argv=None):
     if temporal:
         from viddet_tpu.data.clip_transforms import ClipTrainTransform
 
-        train_transform = ClipTrainTransform(size=(shape, shape))
+        train_transform = ClipTrainTransform(
+            size=(shape, shape), k=args.temporal_k
+        )
     else:
         train_transform = TrainTransform(size=(shape, shape))
     train_loader = DetectionLoader(
@@ -349,7 +354,9 @@ def validate(module, state, val_ds, metric, args, eval_step):
     if getattr(args, "temporal_k", 1) > 1:
         from viddet_tpu.data.clip_transforms import ClipValTransform
 
-        val_transform = ClipValTransform(size=(args.data_shape, args.data_shape))
+        val_transform = ClipValTransform(
+            size=(args.data_shape, args.data_shape), k=args.temporal_k
+        )
     else:
         val_transform = ValTransform(size=(args.data_shape, args.data_shape))
     loader = DetectionLoader(
