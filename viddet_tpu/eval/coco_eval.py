@@ -80,8 +80,15 @@ def _greedy_match(ious: np.ndarray, g_ignore: np.ndarray, crowd: np.ndarray):
     n_real = int((~g_ignore).sum())  # g_ignore is sorted: real gts first
     gtm = -np.ones((t_n, g_n), np.int64)
     dtm = -np.ones((t_n, d_n), np.int64)
+    if g_n == 0:
+        return dtm  # nothing to claim; every detection stays unmatched
+    # A detection whose best IoU over ALL gts is below the lowest threshold
+    # can never match (real or ignored) and never claims a gt — skipping it
+    # leaves the sequential state identical.  At real-COCO scale most
+    # detections of most (image, class) pairs are such noise.
+    plausible = np.flatnonzero(ious.max(axis=1) >= thr.min())
     t_idx = np.arange(t_n)
-    for di in range(d_n):
+    for di in plausible:
         cand = np.where(
             (gtm < 0) | crowd[None, :], ious[di][None, :], -1.0
         )  # (T, G): claimed non-crowd gts are out
