@@ -24,6 +24,18 @@ chipcheck:
 	python bench.py
 	VIDDET_COMPACT_KERNEL=1 python bench.py
 
+# full perf record, one command (run after chipcheck when the tunnel is up);
+# every tool prints one JSON line — paste into BASELINE.md
+benchall:
+	python bench.py
+	python tools/ssd_bench.py
+	python tools/frcnn_bench.py
+	python tools/train_bench.py
+	python tools/train_bench.py --family ssd
+	python tools/train_bench.py --family frcnn
+	python tools/serve_bench.py --concurrency 32 --requests 400
+	python tools/stream_bench.py --streams 4
+
 # build the C++ host decode library (also auto-built on first import)
 native:
 	python -c "from viddet_tpu import native; assert native.available(), native.build_error(); print('native lib OK')"
