@@ -196,3 +196,40 @@ def test_evaluate_cli_temporal_on_combined_still_dataset(caplog):
         "--num-workers", "0",
     ])
     assert any("mAP" in r.message for r in caplog.records)
+
+
+def test_train_cli_from_packed_shards(tmp_path, caplog):
+    """'--dataset packed --data-root <prefix>' trains from .vdtp shards
+    (the RecordIO-equivalent fast path, SURVEY.md §3.2 N12)."""
+    import cv2
+
+    from viddet_tpu.data.packed import pack_dataset
+    from viddet_tpu.cli.train_yolov3 import main
+
+    class _Disk:
+        classes = ("a", "b")
+        wn_classes = ("n1", "n2")
+
+        def __len__(self):
+            return 16
+
+        def image_path(self, i):
+            return str(tmp_path / f"{i}.jpg")
+
+        def label(self, i):
+            return np.array([[2.0, 2.0, 30.0, 30.0, i % 2, 0.0]], np.float32)
+
+    rng = np.random.default_rng(0)
+    for i in range(16):
+        cv2.imwrite(str(tmp_path / f"{i}.jpg"),
+                    rng.integers(0, 255, (48, 64, 3)).astype(np.uint8))
+    pack_dataset(_Disk(), str(tmp_path / "pk"), shard_size=8)
+
+    main([
+        "--network", "yolo3_tiny_darknet",
+        "--dataset", "packed", "--data-root", str(tmp_path / "pk"),
+        "--batch-size", "8", "--max-steps", "2", "--num-workers", "0",
+        "--data-shape", "64", "--no-random-shape",
+        "--save-prefix", str(tmp_path / "pkrun"),
+    ])
+    assert any("reached max-steps" in r.getMessage() for r in caplog.records)

@@ -87,3 +87,29 @@ def test_shard_index(tmp_path):
     with open(path + ".idx") as f:
         lines = f.read().strip().splitlines()
     assert len(lines) == 1
+
+
+def test_open_packed_sidecar_roundtrip(tmp_path):
+    """pack_dataset writes a .meta.json sidecar; open_packed reconstructs
+    the dataset (classes included) from the shard prefix alone — the CLI
+    '--dataset packed' path (cli/common.get_dataset)."""
+    import pytest
+
+    from viddet_tpu.data.packed import open_packed
+
+    src = _TinyDiskDataset(str(tmp_path))
+    pack_dataset(src, str(tmp_path / "packed"), shard_size=2)
+
+    ds = open_packed(str(tmp_path / "packed"))
+    assert ds.classes == src.classes
+    assert ds.wn_classes == src.wn_classes
+    assert len(ds) == 3
+    img, label = ds[1]
+    np.testing.assert_array_equal(label, src.label(1))
+
+    # a directory holding exactly one packed set also resolves
+    ds2 = open_packed(str(tmp_path))
+    assert len(ds2) == 3
+
+    with pytest.raises(FileNotFoundError):
+        open_packed(str(tmp_path / "nonexistent"))

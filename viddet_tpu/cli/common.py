@@ -142,6 +142,15 @@ def get_dataset(name: str, root: str, split: str = "train", **dataset_kw):
         ]
         ds = CombinedDetection(children)
         return ds, lambda names: VOC07MApMetric(iou_thresh=0.5, class_names=names)
+    if name == "packed":
+        # Pre-packed .vdtp shards (the RecordIO-equivalent fast path,
+        # SURVEY.md §3.2 N12): --data-root is the shard prefix written by
+        # tools/pack_dataset.py.  The split is baked in at pack time.
+        from viddet_tpu.data.packed import open_packed
+        from viddet_tpu.eval.voc_map import VOC07MApMetric
+
+        ds = open_packed(root)
+        return ds, lambda names: VOC07MApMetric(iou_thresh=0.5, class_names=names)
     if name == "synthetic" or root == "synthetic":
         from viddet_tpu.data.synthetic import SyntheticDetection
         from viddet_tpu.eval.voc_map import VOCMApMetric
@@ -186,7 +195,7 @@ def get_dataset(name: str, root: str, split: str = "train", **dataset_kw):
         )
         return ds, lambda names: VIDDetectionMetric(ds, class_names=names)
     raise ValueError(
-        f"unknown dataset {name!r} (voc|coco|det|vid, or '+'-combined "
+        f"unknown dataset {name!r} (voc|coco|det|vid|packed, or '+'-combined "
         "e.g. det+vid)"
     )
 

@@ -74,7 +74,51 @@ def pack_dataset(dataset: DetectionDataset, out_prefix: str,
         if len(buf) >= shard_size:
             flush()
     flush()
+    # sidecar metadata so '--dataset packed --data-root <prefix>' can
+    # reconstruct the class set without the source dataset (the analogue
+    # of RecordIO's .lst/.idx companions — SURVEY.md §3.2 N12)
+    with open(f"{out_prefix}.meta.json", "w") as f:
+        json.dump(
+            {
+                "classes": list(dataset.classes),
+                "wn_classes": list(getattr(dataset, "wn_classes", ())),
+                "num_records": len(dataset),
+                "shards": [os.path.basename(s) for s in shards],
+            },
+            f,
+            indent=2,
+        )
     return shards
+
+
+def open_packed(prefix_or_dir: str) -> "PackedDetection":
+    """Open packed shards by prefix (or a directory holding exactly one
+    packed set): reads ``<prefix>.meta.json`` for classes, globs the
+    ``<prefix>-*.vdtp`` shards."""
+    import glob as _glob
+
+    prefix = prefix_or_dir
+    if os.path.isdir(prefix_or_dir):
+        metas = sorted(_glob.glob(os.path.join(prefix_or_dir, "*.meta.json")))
+        if len(metas) != 1:
+            raise ValueError(
+                f"{prefix_or_dir!r} holds {len(metas)} packed sets; pass the "
+                "shard prefix itself (e.g. /data/packed/voc-train)"
+            )
+        prefix = metas[0][: -len(".meta.json")]
+    meta_path = f"{prefix}.meta.json"
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"{meta_path} not found — write shards with tools/pack_dataset.py"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    shards = sorted(_glob.glob(f"{prefix}-*.vdtp"))
+    if not shards:
+        raise FileNotFoundError(f"no {prefix}-*.vdtp shards found")
+    return PackedDetection(
+        shards, meta["classes"], meta.get("wn_classes") or None
+    )
 
 
 class PackedDetection(DetectionDataset):
