@@ -171,17 +171,29 @@ class COCOEvalBBox:
         ious = _iou_xyxy(dt_b, gt_b, crowd)
 
         per_area = []
+        # The greedy match depends ONLY on the GT-ignore pattern; area
+        # ranges frequently share it (e.g. every GT of the pair falls in
+        # one size bin: "all" and that bin coincide, the other two bins
+        # are all-ignored) — cache by pattern, reuse the match.
+        match_cache: Dict[bytes, tuple] = {}
         for rng in AREA_RNG.values():
             g_ignore = crowd | (g_area < rng[0]) | (g_area > rng[1])
-            g_order = np.argsort(g_ignore, kind="stable")  # non-ignored first
-            gi_sorted = g_ignore[g_order]
-            dtm = _greedy_match(ious[:, g_order], gi_sorted, crowd[g_order])
-            matched = dtm >= 0
+            key = g_ignore.tobytes()
+            hit = match_cache.get(key)
+            if hit is None:
+                g_order = np.argsort(g_ignore, kind="stable")  # non-ignored first
+                gi_sorted = g_ignore[g_order]
+                dtm = _greedy_match(ious[:, g_order], gi_sorted, crowd[g_order])
+                matched = dtm >= 0
+                # ignore status of the matched gt; index -1 -> harmless
+                gi_pad = np.append(gi_sorted, False)
+                hit = (matched, gi_pad[dtm], int((~gi_sorted).sum()))
+                match_cache[key] = hit
+            matched, ig_from_gt, npig = hit
             d_out = (d_area < rng[0]) | (d_area > rng[1])
             # ignored detection: matched an ignored GT, or unmatched + out
-            gi_pad = np.append(gi_sorted, False)  # index -1 -> harmless
-            dt_ig = np.where(matched, gi_pad[dtm], d_out[None, :])
-            per_area.append((matched, dt_ig, int((~gi_sorted).sum())))
+            dt_ig = np.where(matched, ig_from_gt, d_out[None, :])
+            per_area.append((matched, dt_ig, npig))
         return scores, per_area
 
     def accumulate(self):
