@@ -126,3 +126,25 @@ def test_http_roundtrip():
     finally:
         server.shutdown()
         server.viddet_service.close()
+
+
+def test_service_partial_batch_flush_deadline():
+    """A lone request must not wait for a full batch — the flush deadline
+    pads and submits (live-traffic latency bound)."""
+    import time
+
+    service, _ = _tiny_stack(batch_size=8, flush_ms=30.0)
+    try:
+        img = np.zeros((40, 40, 3), np.uint8)
+        service.detect(img, timeout=300)  # warm compile
+        t0 = time.perf_counter()
+        ids, scores, boxes = service.detect(img, timeout=300)
+        dt = time.perf_counter() - t0
+        assert ids.ndim == 1
+        # one warm tiny-net batch is ~1s on this CPU; anything far beyond
+        # device cost + flush window means the request waited for a batch
+        # that could never fill
+        assert dt < 30.0
+        assert service.served == 2
+    finally:
+        service.close()
