@@ -113,3 +113,50 @@ def test_open_packed_sidecar_roundtrip(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         open_packed(str(tmp_path / "nonexistent"))
+
+
+def test_open_packed_split_guard_and_two_root_routing(tmp_path):
+    """A packed set records its split; opening it as the wrong split is a
+    loud error (a train CLI must never silently validate on its training
+    shards), and the CLI's 'trainprefix,valprefix' form routes by split."""
+    import pytest
+
+    from viddet_tpu.cli.common import get_dataset
+    from viddet_tpu.data.packed import open_packed
+
+    src = _TinyDiskDataset(str(tmp_path))
+    pack_dataset(src, str(tmp_path / "pk-train"), shard_size=2, split="train")
+    pack_dataset(src, str(tmp_path / "pk-val"), shard_size=2, split="val")
+
+    assert len(open_packed(str(tmp_path / "pk-train"), split="train")) == 3
+    with pytest.raises(ValueError, match="split"):
+        open_packed(str(tmp_path / "pk-train"), split="val")
+
+    root = f"{tmp_path}/pk-train,{tmp_path}/pk-val"
+    ds_t, _ = get_dataset("packed", root, split="train")
+    ds_v, _ = get_dataset("packed", root, split="val")
+    assert len(ds_t) == 3 and len(ds_v) == 3
+
+
+def test_open_packed_does_not_merge_sibling_prefixes(tmp_path):
+    """'pk' must not swallow 'pk-aug' shards: the sidecar's exact shard
+    list is authoritative, never a prefix glob."""
+    from viddet_tpu.data.packed import open_packed
+
+    src = _TinyDiskDataset(str(tmp_path))
+    pack_dataset(src, str(tmp_path / "pk"), shard_size=2)
+    pack_dataset(src, str(tmp_path / "pk-aug"), shard_size=2)
+    assert len(open_packed(str(tmp_path / "pk"))) == 3
+
+
+def test_packed_default_wnids_unique_for_combination(tmp_path):
+    """Fallback wnids must be unique per class so CombinedDetection's
+    wnid-keyed union cannot collapse classes."""
+    from viddet_tpu.data.combined import CombinedDetection
+
+    src = _TinyDiskDataset(str(tmp_path))
+    shards = pack_dataset(src, str(tmp_path / "pk"), shard_size=2)
+    ds = PackedDetection(shards, classes=src.classes)  # no wn_classes given
+    assert len(set(ds.wn_classes)) == len(ds.classes)
+    combo = CombinedDetection([ds, ds])
+    assert combo.classes == src.classes

@@ -28,7 +28,9 @@ def main(argv=None):
 
     ds, _ = get_dataset(args.dataset, args.data_root, split=args.split)
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    shards = pack_dataset(ds, args.out, shard_size=args.shard_size)
+    shards = pack_dataset(
+        ds, args.out, shard_size=args.shard_size, split=args.split
+    )
     print(f"packed {len(ds)} records into {len(shards)} shard(s)")
     for s in shards:
         print(" ", s)

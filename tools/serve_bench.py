@@ -43,6 +43,11 @@ def main(argv=None):
 
     if args.platform != "auto":
         jax.config.update("jax_platforms", args.platform)
+    cache = os.environ.get("VIDDET_JAX_CACHE")
+    if cache:
+        from viddet_tpu.cli.common import enable_compilation_cache
+
+        enable_compilation_cache(cache)
     import numpy as np
 
     from viddet_tpu.data.transforms import ValTransform

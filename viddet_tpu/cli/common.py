@@ -145,11 +145,21 @@ def get_dataset(name: str, root: str, split: str = "train", **dataset_kw):
     if name == "packed":
         # Pre-packed .vdtp shards (the RecordIO-equivalent fast path,
         # SURVEY.md §3.2 N12): --data-root is the shard prefix written by
-        # tools/pack_dataset.py.  The split is baked in at pack time.
+        # tools/pack_dataset.py — or 'trainprefix,valprefix' so train and
+        # val resolve to their own packed sets (splits are baked in at
+        # pack time; open_packed raises on a split mismatch).
         from viddet_tpu.data.packed import open_packed
         from viddet_tpu.eval.voc_map import VOC07MApMetric
 
-        ds = open_packed(root)
+        roots = root.split(",")
+        if len(roots) == 2:
+            root = roots[0] if split == "train" else roots[1]
+        elif len(roots) != 1:
+            raise ValueError(
+                "--data-root for packed takes 1 prefix or "
+                f"'trainprefix,valprefix', got {len(roots)}"
+            )
+        ds = open_packed(root, split=split)
         return ds, lambda names: VOC07MApMetric(iou_thresh=0.5, class_names=names)
     if name == "synthetic" or root == "synthetic":
         from viddet_tpu.data.synthetic import SyntheticDetection

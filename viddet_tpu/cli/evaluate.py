@@ -92,48 +92,50 @@ def evaluate(module, variables, dataset, metric, args, logger):
     t0 = time.time()
     seen = 0
     det_file = open(args.save_detections, "w") if args.save_detections else None
-    # explicit iterator so an early --max-images break closes the generator
-    # deterministically (its finally block stops the prefetch workers)
-    batches = iter(loader)
-    for images, gt_boxes, gt_ids, difficult, affines, idxs in batches:
-        batch = images
-        if batch.shape[0] < args.batch_size:  # pad last batch: one XLA shape
-            pad = args.batch_size - batch.shape[0]
-            batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
-        device_batch = jnp.asarray(batch)
-        if sharded:
-            device_batch = put_batch(device_batch, mesh)
-        ids, scores, boxes = (np.asarray(r) for r in infer(variables, device_batch))
-        n = images.shape[0]
-        ids, scores, boxes = ids[:n], scores[:n], boxes[:n]
-        # metric protocol runs in ORIGINAL image coordinates
-        boxes_orig = np.stack(
-            [invert_affine_to_boxes(boxes[i], affines[i]) for i in range(n)]
-        )
-        gt_orig = np.stack(
-            [invert_affine_to_boxes(gt_boxes[i], affines[i]) for i in range(n)]
-        )
-        gt_orig[gt_ids < 0] = -1.0
-        if hasattr(metric, "update_with_indices"):
-            metric.update_with_indices(boxes_orig, ids, scores, idxs[:n])
-        else:
-            metric.update(boxes_orig, ids, scores, gt_orig, gt_ids[:n], difficult[:n] if difficult is not None else None)
+    try:
+        # explicit iterator so an early --max-images break closes the
+        # generator deterministically (its finally stops prefetch workers)
+        batches = iter(loader)
+        for images, gt_boxes, gt_ids, difficult, affines, idxs in batches:
+            batch = images
+            if batch.shape[0] < args.batch_size:  # pad last batch: one XLA shape
+                pad = args.batch_size - batch.shape[0]
+                batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
+            device_batch = jnp.asarray(batch)
+            if sharded:
+                device_batch = put_batch(device_batch, mesh)
+            ids, scores, boxes = (np.asarray(r) for r in infer(variables, device_batch))
+            n = images.shape[0]
+            ids, scores, boxes = ids[:n], scores[:n], boxes[:n]
+            # metric protocol runs in ORIGINAL image coordinates
+            boxes_orig = np.stack(
+                [invert_affine_to_boxes(boxes[i], affines[i]) for i in range(n)]
+            )
+            gt_orig = np.stack(
+                [invert_affine_to_boxes(gt_boxes[i], affines[i]) for i in range(n)]
+            )
+            gt_orig[gt_ids < 0] = -1.0
+            if hasattr(metric, "update_with_indices"):
+                metric.update_with_indices(boxes_orig, ids, scores, idxs[:n])
+            else:
+                metric.update(boxes_orig, ids, scores, gt_orig, gt_ids[:n], difficult[:n] if difficult is not None else None)
+            if det_file is not None:
+                for i in range(n):
+                    keep = ids[i] >= 0
+                    det_file.write(json.dumps({
+                        "index": int(idxs[i]),
+                        "ids": ids[i][keep].astype(int).tolist(),
+                        "scores": scores[i][keep].astype(float).tolist(),
+                        "boxes": boxes_orig[i][keep].astype(float).tolist(),
+                    }) + "\n")
+            seen += n
+            if args.max_images and seen >= args.max_images:
+                batches.close()
+                break
+    finally:
         if det_file is not None:
-            for i in range(n):
-                keep = ids[i] >= 0
-                det_file.write(json.dumps({
-                    "index": int(idxs[i]),
-                    "ids": ids[i][keep].astype(int).tolist(),
-                    "scores": scores[i][keep].astype(float).tolist(),
-                    "boxes": boxes_orig[i][keep].astype(float).tolist(),
-                }) + "\n")
-        seen += n
-        if args.max_images and seen >= args.max_images:
-            batches.close()
-            break
-    if det_file is not None:
-        det_file.close()
-        logger.info("detections written to %s", args.save_detections)
+            det_file.close()
+            logger.info("detections written to %s", args.save_detections)
     dt = time.time() - t0
     logger.info("evaluated %d images in %.1fs (%.1f img/s)", seen, dt, seen / dt)
     return metric.get()

@@ -97,6 +97,11 @@ def make_handler(service: DetectionService, class_names, default_thresh: float,
             logger.debug("http: " + fmt, *fa)
 
         def _reply(self, code: int, payload: dict):
+            if code != 200:
+                # error paths may not have drained the request body; an
+                # unread body would be parsed as the next request line on
+                # a kept-alive connection — close instead
+                self.close_connection = True
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")

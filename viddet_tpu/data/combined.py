@@ -27,6 +27,13 @@ class CombinedDetection(DetectionDataset):
             assert len(ds.wn_classes) == len(ds.classes), (
                 f"{type(ds).__name__} must expose wn_classes aligned with classes"
             )
+            if any(not w for w in ds.wn_classes):
+                # empty wnids would all key to one union class, silently
+                # remapping every label of this child to class 0
+                raise ValueError(
+                    f"{type(ds).__name__} has empty wn_classes entries — "
+                    "combination is keyed by wnid and needs them unique"
+                )
             for wnid, name in zip(ds.wn_classes, ds.classes):
                 if wnid not in seen:
                     seen[wnid] = len(union)

@@ -51,7 +51,7 @@ def write_shard(path: str, records) -> int:
 
 
 def pack_dataset(dataset: DetectionDataset, out_prefix: str,
-                 shard_size: int = 1024) -> List[str]:
+                 shard_size: int = 1024, split: str = "") -> List[str]:
     """Pack any DetectionDataset with an ``image_path`` into shards."""
     shards = []
     buf = []
@@ -84,6 +84,7 @@ def pack_dataset(dataset: DetectionDataset, out_prefix: str,
                 "wn_classes": list(getattr(dataset, "wn_classes", ())),
                 "num_records": len(dataset),
                 "shards": [os.path.basename(s) for s in shards],
+                "split": split,
             },
             f,
             indent=2,
@@ -91,10 +92,15 @@ def pack_dataset(dataset: DetectionDataset, out_prefix: str,
     return shards
 
 
-def open_packed(prefix_or_dir: str) -> "PackedDetection":
+def open_packed(prefix_or_dir: str, split: str = "") -> "PackedDetection":
     """Open packed shards by prefix (or a directory holding exactly one
-    packed set): reads ``<prefix>.meta.json`` for classes, globs the
-    ``<prefix>-*.vdtp`` shards."""
+    packed set): reads ``<prefix>.meta.json`` for classes and the exact
+    shard list (never a glob — sibling sets sharing a prefix, e.g.
+    ``voc-train`` next to ``voc-train-aug``, must not merge).
+
+    ``split``: when given and the sidecar recorded a different split at
+    pack time, raise — a training CLI silently validating on its training
+    shards is the failure this guards."""
     import glob as _glob
 
     prefix = prefix_or_dir
@@ -113,9 +119,23 @@ def open_packed(prefix_or_dir: str) -> "PackedDetection":
         )
     with open(meta_path) as f:
         meta = json.load(f)
-    shards = sorted(_glob.glob(f"{prefix}-*.vdtp"))
+    packed_split = meta.get("split", "")
+    if split and packed_split and split != packed_split:
+        raise ValueError(
+            f"{meta_path} was packed from split {packed_split!r} but "
+            f"{split!r} was requested — pack each split separately and pass "
+            "both, e.g. --data-root trainprefix,valprefix"
+        )
+    base = os.path.dirname(prefix)
+    if meta.get("shards"):
+        shards = [os.path.join(base, s) for s in meta["shards"]]
+        missing = [s for s in shards if not os.path.exists(s)]
+        if missing:
+            raise FileNotFoundError(f"shards listed in {meta_path} missing: {missing}")
+    else:  # pre-sidecar-era sets: fall back to the glob
+        shards = sorted(_glob.glob(f"{prefix}-*.vdtp"))
     if not shards:
-        raise FileNotFoundError(f"no {prefix}-*.vdtp shards found")
+        raise FileNotFoundError(f"no shards for {prefix} found")
     return PackedDetection(
         shards, meta["classes"], meta.get("wn_classes") or None
     )
@@ -130,7 +150,13 @@ class PackedDetection(DetectionDataset):
     def __init__(self, shards: Sequence[str], classes: Sequence[str],
                  wn_classes: Optional[Sequence[str]] = None):
         self.classes = tuple(classes)
-        self.wn_classes = tuple(wn_classes or [""] * len(classes))
+        # fallback wnids must be UNIQUE per class: CombinedDetection keys
+        # its class union by wnid, and N copies of "" would collapse every
+        # class into one.  Keying by display name keeps same-named classes
+        # from different packed sets aligned, which is the sane default.
+        self.wn_classes = tuple(
+            wn_classes or (f"name:{c}" for c in self.classes)
+        )
         self._entries: List[Tuple[str, int, int]] = []  # (shard, offset, size)
         for shard in shards:
             with open(shard + ".idx") as idx:

@@ -83,14 +83,34 @@ class DetectionService:
         """Detect on one RGB uint8 image; blocks until the batch it joined
         completes.  Returns (ids, scores, boxes) with boxes in ORIGINAL
         image coordinates, padded rows id=-1 (the eval/detect protocol).
-        Thread-safe; call from any number of threads."""
+        Thread-safe; call from any number of threads.  Raises
+        TimeoutError both when the queue is saturated (backpressure) and
+        when the result misses the deadline; ``timeout`` bounds the TOTAL
+        call, not each phase."""
+        import time
+
         if self._stop.is_set():
             raise RuntimeError("DetectionService is closed")
         x, _, affine = self._transform(rgb)
         slot = _Slot()
-        self._q.put((slot, np.asarray(x, np.float32), affine), timeout=timeout)
-        if not slot.done.wait(timeout):
-            raise TimeoutError("detection request timed out")
+        deadline = None if timeout is None else time.monotonic() + timeout
+        try:
+            self._q.put((slot, np.asarray(x, np.float32), affine), timeout=timeout)
+        except queue.Full:
+            raise TimeoutError(
+                "detection service overloaded (request queue full)"
+            ) from None
+        # Wait in bounded ticks so a close() racing this enqueue (after the
+        # batcher's final drain) cannot strand the caller forever.
+        while True:
+            remaining = None if deadline is None else deadline - time.monotonic()
+            if remaining is not None and remaining <= 0:
+                raise TimeoutError("detection request timed out")
+            tick = 0.5 if remaining is None else min(0.5, remaining)
+            if slot.done.wait(tick):
+                break
+            if self._stop.is_set() and not self._thread.is_alive():
+                raise RuntimeError("DetectionService closed while waiting")
         if slot.error is not None:
             raise slot.error
         return slot.result
@@ -107,6 +127,16 @@ class DetectionService:
         except queue.Full:
             pass
         self._thread.join(timeout=5.0)
+        # fail any request that raced in after the batcher's final drain
+        # (detect()'s ticked wait also notices the dead thread)
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[0].error = RuntimeError("service closed")
+                item[0].done.set()
 
     def __enter__(self):
         return self
@@ -116,13 +146,14 @@ class DetectionService:
 
     # ---- batcher thread --------------------------------------------------
 
-    def _collect(self) -> List:
-        """Block for the first request, then fill up to batch_size more
-        within the flush deadline."""
+    def _collect(self, block: bool) -> List:
+        """Take the first request (blocking only when nothing is in
+        flight), then fill up to batch_size more within the flush
+        deadline."""
         import time
 
         try:
-            first = self._q.get(timeout=0.2)
+            first = self._q.get(timeout=0.2) if block else self._q.get_nowait()
         except queue.Empty:
             return []
         if first is None:
@@ -176,7 +207,12 @@ class DetectionService:
     def _run(self):
         pending: List[Tuple[List, object]] = []
         while not self._stop.is_set():
-            items = self._collect()
+            # only block for traffic when nothing is in flight — with a
+            # batch pending, an empty queue must settle it NOW, not after a
+            # poll interval (the low-load latency bound is ~flush_ms +
+            # device time; new requests pile up in the queue while the
+            # settle's host fetch blocks, so throughput is unhurt)
+            items = self._collect(block=not pending)
             if items:
                 try:
                     pending.append((items, self._dispatch(items)))
@@ -185,8 +221,8 @@ class DetectionService:
                         slot.error = exc
                         slot.done.set()
                     continue
-            # drain: always when idle (latency), otherwise only past the
-            # in-flight depth (throughput)
+            # drain: immediately when the queue went idle (latency),
+            # otherwise only past the in-flight depth (throughput)
             while pending and (len(pending) >= self._max_in_flight or not items):
                 self._settle(*pending.pop(0))
         # shutdown: fail callers still enqueued, settle batches in flight
