@@ -20,9 +20,11 @@ bench:
 chipcheck:
 	python tools/tpu_parity_check.py
 	python tools/trace_tail.py --group compact
+	python tools/trace_tail.py --group scores
 	VIDDET_COMPACT_KERNEL=1 python tools/tpu_parity_check.py
 	python bench.py
 	VIDDET_COMPACT_KERNEL=1 python bench.py
+	VIDDET_SCORE_KERNEL=masked python bench.py
 
 # full perf record, one command (run after chipcheck when the tunnel is up);
 # every tool prints one JSON line — paste into BASELINE.md

@@ -169,3 +169,33 @@ def test_forward_and_postprocess_backend_parity():
     np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
     np.testing.assert_array_equal(np.asarray(sc_p), np.asarray(sc_x))
     np.testing.assert_array_equal(np.asarray(bx_p), np.asarray(bx_x))
+
+
+def test_anchor_scores_masked_variant_bit_exact():
+    """The lane-masked score kernel must equal the slice kernel and the
+    XLA oracle bitwise in bf16 AND f32 (masked -inf max == sliced max in
+    the same dtype; upcast and sigmoids identical)."""
+    from viddet_tpu.ops.nms_gather_pallas import anchor_scores
+
+    rng = np.random.default_rng(11)
+    for dtype in (jnp.bfloat16, jnp.float32):
+        cells_raws, meta, _consts, flat_raws = _make_scales(
+            rng, b=2, img=64, c=7, dtype=dtype
+        )
+        ref = anchor_scores(
+            tuple(cells_raws), meta, interpret=True, variant="slice"
+        )
+        out = anchor_scores(
+            tuple(cells_raws), meta, interpret=True, variant="masked"
+        )
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+        # and against the direct oracle on the anchor-layout tensors
+        raw = jnp.concatenate(flat_raws, axis=1)
+        obj = jax.nn.sigmoid(raw[..., 4].astype(jnp.float32))
+        clsm = jax.nn.sigmoid(
+            jnp.max(raw[..., 5:], axis=-1).astype(jnp.float32)
+        )
+        oracle = np.asarray(obj * clsm)
+        # cell-layout order: per scale, (cell, anchor); flat_raws order is
+        # (anchor-major per scale) already matching _make_scales' reshape
+        np.testing.assert_array_equal(np.asarray(out), oracle)

@@ -134,6 +134,49 @@ def build_variants(group, b, k, topk, m, j, c, interpret=False):
             (boxes, scores, cls_idx, keepf),
         ))
 
+    if group in ("all", "scores"):
+        # anchor-score kernel formulations: misaligned-slice (production)
+        # vs full-width lane-masked reductions (candidate — see
+        # _score_kernel_masked).  Both exact; flip the production default
+        # with VIDDET_SCORE_KERNEL=masked if this shows masked faster.
+        from viddet_tpu.ops.nms_gather_pallas import anchor_scores
+
+        na = 3
+        anchors_416 = (
+            ((116, 90), (156, 198), (373, 326)),
+            ((30, 61), (62, 45), (59, 119)),
+            ((10, 13), (16, 30), (33, 23)),
+        )
+        raws, meta = [], []
+        rkey = jax.random.split(key, 4)
+        for si, (anc, st) in enumerate(zip(anchors_416, (32, 16, 8))):
+            h = w = 416 // st
+            raws.append(jax.random.normal(
+                rkey[si], (b, h * w, na * (5 + c))
+            ).astype(jnp.bfloat16))
+            meta.append((h * w, w, st, tuple(
+                (float(x), float(y)) for x, y in anc
+            )))
+        meta = tuple(meta)
+
+        def scores_once(variant):
+            def body(*rs):
+                return jnp.sum(anchor_scores(
+                    tuple(rs), meta, interpret=interpret, variant=variant
+                ))
+            return body
+
+        variants.append((
+            "scores_slice",
+            _named(chain(scores_once("slice"), len(raws)), "scores_slice"),
+            tuple(raws),
+        ))
+        variants.append((
+            "scores_masked",
+            _named(chain(scores_once("masked"), len(raws)), "scores_masked"),
+            tuple(raws),
+        ))
+
     if group in ("all", "glue"):
         import jax as _jax
 
@@ -172,7 +215,8 @@ def parse_trace(outdir):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--group", default="all",
-                   choices=("all", "scan", "finalize", "glue", "compact"))
+                   choices=("all", "scan", "finalize", "glue", "compact",
+                            "scores"))
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--topk", type=int, default=400)
     p.add_argument("--classes", type=int, default=80)

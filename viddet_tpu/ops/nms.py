@@ -366,9 +366,17 @@ def multiclass_nms_late_decode_fused(
 
     interp = backend == "pallas_interpret"
     if anchor_score is None:
+        import os
+
         from viddet_tpu.ops.nms_gather_pallas import anchor_scores
 
-        anchor_score = anchor_scores(tuple(raws_cells), meta, interpret=interp)
+        # "masked" is the candidate faster formulation, exact by
+        # construction; stays opt-in until trace_tail proves it on-chip
+        # (docs/perf_notes.md "pending on-chip items")
+        anchor_score = anchor_scores(
+            tuple(raws_cells), meta, interpret=interp,
+            variant=os.environ.get("VIDDET_SCORE_KERNEL", "slice"),
+        )
     # Stage-1 winners via the sort-free threshold-select kernel: exact same
     # index SET as lax.top_k (ties included) in ascending-index order; the
     # candidate order is immaterial because stage-2 re-ranks every

@@ -435,16 +435,67 @@ def _score_kernel(g, meta, num_pred):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+def _score_kernel_masked(g, meta, num_pred):
+    """Lane-masked formulation of ``_score_kernel``.
+
+    The slice variant reads per-anchor groups at lane offsets
+    0/85/170 — misaligned to the 128-lane vreg boundary, which Mosaic
+    lowers to lane-rotate/mask sequences (profiled at ~1.09 ms/batch-128
+    vs a ~0.3 ms bandwidth floor — docs/perf_notes.md).  Here every
+    reduction runs FULL-WIDTH over the (cells, na*num_pred) block with a
+    compile-time iota lane mask selecting each anchor's cls (or obj)
+    lanes; masked-out lanes carry -inf so the max is bit-identical to the
+    sliced max in the same dtype.  Whether Mosaic codegen actually beats
+    the slicing is an on-chip question — tools/trace_tail.py --group
+    scores measures both; flip with VIDDET_SCORE_KERNEL=masked once
+    proven.
+    """
+
+    def kernel(*refs):
+        raw_refs = refs[: len(meta)]
+        out_refs = refs[len(meta) :]
+        for gi in range(g):
+            for rref, oref, (cells, _, _, anchors) in zip(
+                raw_refs, out_refs, meta
+            ):
+                x = rref[gi]  # (cells, na*num_pred), raw dtype
+                neg = jnp.asarray(-jnp.inf, x.dtype)
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, x.shape, dimension=1
+                )
+                cols = []
+                for a in range(len(anchors)):
+                    o = a * num_pred
+                    obj = jnp.max(
+                        jnp.where(lane == o + 4, x, neg),
+                        axis=-1, keepdims=True,
+                    ).astype(jnp.float32)
+                    clsm = jnp.max(
+                        jnp.where(
+                            (lane >= o + 5) & (lane < o + num_pred), x, neg
+                        ),
+                        axis=-1, keepdims=True,
+                    ).astype(jnp.float32)
+                    cols.append(jax.nn.sigmoid(obj) * jax.nn.sigmoid(clsm))
+                oref[gi] = jnp.concatenate(cols, axis=-1)  # (cells, na)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "interpret", "variant"))
 def anchor_scores(
     raws: Sequence[jnp.ndarray],
     meta,
     interpret: bool = False,
+    variant: str = "slice",
 ) -> jnp.ndarray:
     """(B, N) float32 stage-1 anchor scores from cell-layout head tensors.
 
     Bit-identical to ``sigmoid(obj) * sigmoid(max cls)`` computed via the
     XLA reduce/concat chain (same ops on the same upcast values).
+
+    ``variant``: "slice" (production) or "masked" (full-width lane-masked
+    reductions — see ``_score_kernel_masked``); both are exact.
     """
     b = raws[0].shape[0]
     na = len(meta[0][3])
@@ -453,8 +504,11 @@ def anchor_scores(
     # (1.09 -> 1.11 ms/batch-128) while the (g, cells, na) f32 output
     # windows pad na -> 128 lanes (43x useful bytes) — not worth it.
     g = 1
+    make_kernel = (
+        _score_kernel_masked if variant == "masked" else _score_kernel
+    )
     outs = pl.pallas_call(
-        _score_kernel(g, meta, num_pred),
+        make_kernel(g, meta, num_pred),
         grid=(b // g,),
         in_specs=[
             pl.BlockSpec(
