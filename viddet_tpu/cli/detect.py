@@ -41,6 +41,9 @@ def parse_args(argv=None):
     p.add_argument("--thresh", type=float, default=0.5)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--every", type=int, default=1, help="process every nth frame")
+    p.add_argument("--flush-ms", type=float, default=50.0,
+                   help="live sources (webcam): max wait to fill a device "
+                        "batch before a partial batch is submitted")
     p.add_argument("--save-detections", action="store_true", help="write det .txt")
     p.add_argument("--no-draw", action="store_true")
     p.add_argument("--temporal-k", type=int, default=1,
@@ -114,8 +117,11 @@ def main(argv=None):
         raise SystemExit("--temporal-k > 1 needs video input (clips are "
                          "assembled from the frame stream)")
     if kind == "video":
-        if temporal or len(files) > 1:
-            # N streams and/or k-frame clips through one shared batch
+        live = isinstance(files[0], int)  # webcam index
+        if temporal or len(files) > 1 or live:
+            # N streams and/or k-frame clips through one shared batch; a
+            # live webcam also goes here for the flush-deadline partial
+            # batches (a full-batch wait would add ~batch/fps of latency)
             from viddet_tpu.infer.multistream import stream_detect_videos
 
             stream_detect_videos(
@@ -130,6 +136,7 @@ def main(argv=None):
                 every=args.every,
                 k=args.temporal_k,
                 stride=args.temporal_stride,
+                flush_ms=args.flush_ms,
                 draw=not args.no_draw,
                 save_detections=args.save_detections,
                 logger=logger,

@@ -244,6 +244,7 @@ def stream_detect_videos(
     every: int = 1,
     k: int = 1,
     stride: int = 1,
+    flush_ms: float = 200.0,
     draw: bool = True,
     save_detections: bool = False,
     logger=None,
@@ -252,6 +253,8 @@ def stream_detect_videos(
 
     The multi-video generalization of ``stream.stream_detect_video``
     (BASELINE config #5 when k > 1: temporal decode->batch->detect).
+    ``flush_ms`` bounds how long a partial batch waits — the live-source
+    (webcam) latency knob.
     """
     import time
 
@@ -292,6 +295,7 @@ def stream_detect_videos(
             transform.size,
             k=k,
             stride=stride,
+            flush_ms=flush_ms,
         ):
             restored = invert_affine_to_boxes(boxes, affine)
             df = det_files.get(name)
