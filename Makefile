@@ -22,6 +22,7 @@ chipcheck:
 	python tools/trace_tail.py --group compact
 	python tools/trace_tail.py --group scores
 	VIDDET_COMPACT_KERNEL=1 python tools/tpu_parity_check.py
+	VIDDET_SCORE_KERNEL=masked python tools/tpu_parity_check.py
 	python bench.py
 	VIDDET_COMPACT_KERNEL=1 python bench.py
 	VIDDET_SCORE_KERNEL=masked python bench.py

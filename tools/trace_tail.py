@@ -12,6 +12,8 @@ defeat CSE, and reports per-execution device time parsed from the trace.
 Variant groups:
   scan      nms_keep_mask_pallas ranks_per_step sweep (1..25)
   finalize  finalize_candidates (column-form kernel)
+  compact   compact_and_pad: pallas kernel vs the XLA vmap tail
+  scores    anchor-score kernel: slice vs lane-masked formulations
   glue      the XLA class-offset + compact tail for attribution
 """
 

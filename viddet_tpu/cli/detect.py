@@ -41,9 +41,10 @@ def parse_args(argv=None):
     p.add_argument("--thresh", type=float, default=0.5)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--every", type=int, default=1, help="process every nth frame")
-    p.add_argument("--flush-ms", type=float, default=50.0,
-                   help="live sources (webcam): max wait to fill a device "
-                        "batch before a partial batch is submitted")
+    p.add_argument("--flush-ms", type=float, default=None,
+                   help="max wait from a batch's first frame before a "
+                        "partial batch is submitted (default: 50 for live "
+                        "webcam sources, 200 for video files)")
     p.add_argument("--save-detections", action="store_true", help="write det .txt")
     p.add_argument("--no-draw", action="store_true")
     p.add_argument("--temporal-k", type=int, default=1,
@@ -118,6 +119,9 @@ def main(argv=None):
                          "assembled from the frame stream)")
     if kind == "video":
         live = isinstance(files[0], int)  # webcam index
+        flush_ms = args.flush_ms if args.flush_ms is not None else (
+            50.0 if live else 200.0
+        )
         if temporal or len(files) > 1 or live:
             # N streams and/or k-frame clips through one shared batch; a
             # live webcam also goes here for the flush-deadline partial
@@ -136,7 +140,7 @@ def main(argv=None):
                 every=args.every,
                 k=args.temporal_k,
                 stride=args.temporal_stride,
-                flush_ms=args.flush_ms,
+                flush_ms=flush_ms,
                 draw=not args.no_draw,
                 save_detections=args.save_detections,
                 logger=logger,

@@ -200,14 +200,27 @@ def stream_detect_multi(
         for i, it in enumerate(items):
             yield it.stream, it.frame_idx, it.rgb, it.affine, ids[i], scores[i], boxes[i]
 
+    import time
+
     live = len(states)
     batch_items: List[StreamItem] = []
+    # the flush deadline is anchored to the FIRST item of the partial batch
+    # — a per-get timeout would reset on every frame, so any source faster
+    # than 1000/flush_ms fps would never flush and the latency bound
+    # would silently revert to the full-batch wait
+    batch_deadline = 0.0
     try:
         while live > 0 or batch_items:
-            try:
-                item = ready.get(timeout=flush_ms / 1e3 if live else 0.01)
-            except queue.Empty:
-                item = None
+            if batch_items:
+                wait = batch_deadline - time.monotonic()
+            else:
+                wait = flush_ms / 1e3 if live else 0.01
+            item = None
+            if wait > 0:
+                try:
+                    item = ready.get(timeout=wait)
+                except queue.Empty:
+                    item = None
             if isinstance(item, _StreamError):
                 raise RuntimeError(
                     f"stream '{item.stream}' failed during decode"
@@ -217,6 +230,8 @@ def stream_detect_multi(
                 live -= 1
                 continue
             if item is not None:
+                if not batch_items:
+                    batch_deadline = time.monotonic() + flush_ms / 1e3
                 batch_items.append(item)
             if batch_items and (
                 len(batch_items) == batch_size or item is None or live == 0

@@ -372,7 +372,10 @@ def multiclass_nms_late_decode_fused(
 
         # "masked" is the candidate faster formulation, exact by
         # construction; stays opt-in until trace_tail proves it on-chip
-        # (docs/perf_notes.md "pending on-chip items")
+        # (docs/perf_notes.md "pending on-chip items").  NOTE: read at
+        # trace time — set before process start (like the other VIDDET_*
+        # kernel knobs); an in-process change after the first call hits
+        # the jit cache and is ignored.
         anchor_score = anchor_scores(
             tuple(raws_cells), meta, interpret=interp,
             variant=os.environ.get("VIDDET_SCORE_KERNEL", "slice"),

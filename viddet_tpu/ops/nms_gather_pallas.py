@@ -497,6 +497,12 @@ def anchor_scores(
     ``variant``: "slice" (production) or "masked" (full-width lane-masked
     reductions — see ``_score_kernel_masked``); both are exact.
     """
+    if variant not in ("slice", "masked"):
+        # a typo'd VIDDET_SCORE_KERNEL silently measuring the wrong kernel
+        # would corrupt the flip decision — fail loudly
+        raise ValueError(
+            f"anchor_scores variant {variant!r} is not 'slice' or 'masked'"
+        )
     b = raws[0].shape[0]
     na = len(meta[0][3])
     num_pred = raws[0].shape[-1] // na
