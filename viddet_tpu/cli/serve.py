@@ -190,16 +190,23 @@ def serve_forever(args, logger) -> ThreadingHTTPServer:
 
 
 def main(argv=None):
+    import signal
+
     args = parse_args(argv)
     logger = setup_logging()
     server = serve_forever(args, logger)
+    stop = threading.Event()
+    # SIGTERM is how a supervisor stops a service — drain cleanly, same as
+    # ctrl-C (in-flight requests settle; enqueued ones get a clean error)
+    signal.signal(signal.SIGTERM, lambda *_: stop.set())
     try:
-        while True:
-            time.sleep(3600)
+        while not stop.is_set():
+            stop.wait(3600)
     except KeyboardInterrupt:
-        logger.info("shutting down")
-        server.shutdown()
-        server.viddet_service.close()
+        pass
+    logger.info("shutting down")
+    server.shutdown()
+    server.viddet_service.close()
 
 
 if __name__ == "__main__":
