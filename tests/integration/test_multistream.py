@@ -238,3 +238,41 @@ def test_duplicate_basename_streams_write_distinct_outputs(tmp_path):
     txts = sorted(os.listdir(out))
     assert txts == ["a_1_det.txt", "a_det.txt"], txts
     assert stats["frames"] == 12
+
+
+def test_flush_deadline_anchored_to_first_frame():
+    """A source faster than 1000/flush_ms fps must STILL flush a partial
+    batch once flush_ms has passed since the batch's first frame — the
+    live-webcam latency bound.  (A per-get timeout would reset on every
+    frame and wait for the full batch: ~1.3s here vs ~0.1s.)"""
+    import time
+
+    import numpy as np
+
+    from viddet_tpu.infer.multistream import stream_detect_multi
+
+    def src():
+        for i in range(64):
+            yield i, None, np.zeros((8, 8, 3), np.float32), np.zeros(4, np.float32)
+            time.sleep(0.04)  # 25 fps — faster than the 100ms flush window
+
+    def fake_infer(_variables, batch):
+        b = batch.shape[0]
+        return (
+            np.zeros((b, 5), np.float32),
+            np.zeros((b, 5), np.float32),
+            np.zeros((b, 5, 4), np.float32),
+        )
+
+    t0 = time.perf_counter()
+    gen = stream_detect_multi(
+        {"s": src()}, fake_infer, None, batch_size=32, input_shape=(8, 8),
+        flush_ms=100.0,
+    )
+    next(gen)
+    first_dt = time.perf_counter() - t0
+    gen.close()
+    assert first_dt < 0.6, (
+        f"first result after {first_dt:.2f}s — partial-batch flush did not "
+        "fire at the deadline"
+    )
