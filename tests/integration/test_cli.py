@@ -233,3 +233,25 @@ def test_train_cli_from_packed_shards(tmp_path, caplog):
         "--save-prefix", str(tmp_path / "pkrun"),
     ])
     assert any("reached max-steps" in r.getMessage() for r in caplog.records)
+
+
+def test_visualise_cli_side_by_side(tmp_path):
+    """--side-by-side writes GT|detections comparison frames at 2x width
+    (the reference's comparison-video mode)."""
+    from viddet_tpu.cli.visualise import main
+
+    base_out = str(tmp_path / "vis_base")
+    main([
+        "--dataset", "synthetic", "--data-root", "synthetic",
+        "--output", base_out, "--max-images", "1",
+    ])
+    base = cv2.imread(os.path.join(base_out, "000000_vis.jpg"))
+
+    out = str(tmp_path / "vis")
+    main([
+        "--dataset", "synthetic", "--data-root", "synthetic",
+        "--output", out, "--max-images", "1", "--side-by-side",
+    ])
+    img = cv2.imread(os.path.join(out, "000000_vis.jpg"))
+    assert img is not None and img.shape[1] == 2 * base.shape[1]
+    assert img.shape[0] == base.shape[0]

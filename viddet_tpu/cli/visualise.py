@@ -44,6 +44,10 @@ def parse_args(argv=None):
     p.add_argument("--fps", type=float, default=25.0)
     p.add_argument("--gif-max-width", type=int, default=480,
                    help="downscale GIF frames to this width (0 = original)")
+    p.add_argument("--side-by-side", action="store_true",
+                   help="comparison layout: GT on the left panel, "
+                        "detections on the right (the reference's "
+                        "comparison-video mode) instead of one overlay")
     from viddet_tpu.cli.common import parse_with_config
     return parse_with_config(p, argv)
 
@@ -98,18 +102,25 @@ def main(argv=None):
     writer = None
     gif_frames = []
     for stem, img, label in frames:
-        vis = img
+        gt_vis = img
         if label is not None and len(label):
             gt_ids = label[:, 4]
-            vis = draw_detections(
-                vis, label[:, :4], gt_ids, np.ones(len(label)),
+            gt_vis = draw_detections(
+                img, label[:, :4], gt_ids, np.ones(len(label)),
                 class_names or None, thresh=0.0,
             )
+        det_vis = img if args.side_by_side else gt_vis
         if args.detections:
             det_path = os.path.join(args.detections, f"{stem}.txt")
             boxes, ids, scores = load_det_txt(det_path, name_to_id)
             if len(boxes):
-                vis = draw_detections(vis, boxes, ids, scores, class_names or None, args.thresh)
+                det_vis = draw_detections(
+                    det_vis, boxes, ids, scores, class_names or None, args.thresh
+                )
+        vis = (
+            np.concatenate([gt_vis, det_vis], axis=1)
+            if args.side_by_side else det_vis
+        )
         out_path = os.path.join(args.output, f"{stem}_vis.jpg")
         cv2.imwrite(out_path, cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
         if args.video:
