@@ -37,6 +37,11 @@ def main(argv=None):
     p.add_argument("--requests", type=int, default=200,
                    help="total requests across all client threads")
     p.add_argument("--platform", default="auto", choices=("auto", "cpu", "tpu"))
+    p.add_argument("--http", action="store_true",
+                   help="drive the FULL stack over HTTP (cli/serve.py on an "
+                        "ephemeral port, JPEG-encoded payloads) instead of "
+                        "calling the batcher directly — measures the "
+                        "decode+HTTP overhead on top of the service")
     args = p.parse_args(argv)
 
     import jax
@@ -55,20 +60,54 @@ def main(argv=None):
     from viddet_tpu.models import get_model
     from viddet_tpu.cli.common import make_predictor, load_weights
 
-    module, _ = get_model(args.network)
-    variables = load_weights(module, "", args.data_shape)
-    infer = make_predictor(module)
-    transform = ValTransform(
-        size=(args.data_shape, args.data_shape), letterbox_resize=True
-    )
-    service = DetectionService(
-        infer, variables, transform,
-        batch_size=args.batch_size, flush_ms=args.flush_ms,
-    )
-
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (480, 640, 3), np.uint8)
-    service.detect(img, timeout=600)  # compile warmup
+
+    server = None
+    if args.http:
+        import cv2
+        import urllib.request
+
+        from viddet_tpu.cli import serve as serve_cli
+        from viddet_tpu.cli.common import setup_logging
+
+        # the served network is '<family>_<backbone>' + --dataset; map the
+        # zoo name back (e.g. yolo3_darknet53_coco)
+        net, ds_name = args.network.rsplit("_", 1)
+        srv_args = serve_cli.parse_args([
+            "--network", net, "--dataset", ds_name,
+            "--data-shape", str(args.data_shape),
+            "--batch-size", str(args.batch_size),
+            "--flush-ms", str(args.flush_ms),
+            "--port", "0", "--thresh", "0.5",
+        ])
+        server = serve_cli.serve_forever(srv_args, setup_logging())
+        port = server.server_address[1]
+        ok, enc = cv2.imencode(".jpg", img[:, :, ::-1])
+        assert ok
+        payload = enc.tobytes()
+        url = f"http://127.0.0.1:{port}/detect"
+
+        def one_request():
+            req = urllib.request.Request(url, data=payload, method="POST")
+            with urllib.request.urlopen(req, timeout=600) as resp:
+                resp.read()
+    else:
+        module, _ = get_model(args.network)
+        variables = load_weights(module, "", args.data_shape)
+        infer = make_predictor(module)
+        transform = ValTransform(
+            size=(args.data_shape, args.data_shape), letterbox_resize=True
+        )
+        service = DetectionService(
+            infer, variables, transform,
+            batch_size=args.batch_size, flush_ms=args.flush_ms,
+        )
+
+        def one_request():
+            service.detect(img, timeout=600)
+
+    one_request()  # compile warmup (serve_forever also pre-warms)
 
     per_thread = max(1, args.requests // args.concurrency)
     latencies: list = []
@@ -80,7 +119,7 @@ def main(argv=None):
         try:
             for _ in range(per_thread):
                 t0 = time.perf_counter()
-                service.detect(img, timeout=600)
+                one_request()
                 mine.append(time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001
             errors.append(exc)
@@ -94,14 +133,21 @@ def main(argv=None):
     for t in threads:
         t.join()
     wall = time.perf_counter() - t0
-    service.close()
+    if server is not None:
+        server.shutdown()
+        server.viddet_service.close()
+    else:
+        service.close()
     if errors:
         raise errors[0]
 
     lat = np.sort(np.asarray(latencies)) * 1e3
     n = len(lat)
     print(json.dumps({
-        "metric": "serve_requests_per_sec",
+        "metric": (
+            "serve_http_requests_per_sec" if args.http
+            else "serve_requests_per_sec"
+        ),
         "value": round(n / wall, 1),
         "unit": "req/s",
         "concurrency": args.concurrency,
