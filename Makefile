@@ -26,6 +26,7 @@ chipcheck:
 	python bench.py
 	VIDDET_COMPACT_KERNEL=1 python bench.py
 	VIDDET_SCORE_KERNEL=masked python bench.py
+	VIDDET_QUANT=int8 python bench.py
 
 # full perf record, one command (run after chipcheck when the tunnel is up);
 # every tool prints one JSON line — paste into BASELINE.md

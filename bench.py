@@ -94,7 +94,18 @@ def main():
     from viddet_tpu.models import get_model
     from viddet_tpu.models.yolo3 import NMSConfig, forward_and_postprocess
 
-    module, _ = get_model("yolo3_darknet53_coco")
+    # Staged PTQ variant (docs/perf_notes.md pending queue): VIDDET_QUANT=int8
+    # rebuilds the flagship with the int8 MXU policy and calibrates on the
+    # bench frames.  Off for the driver's plain `python bench.py`.
+    quant_mode = os.environ.get("VIDDET_QUANT")
+    if quant_mode and quant_mode != "int8":
+        raise ValueError(f"VIDDET_QUANT={quant_mode!r}: only 'int8' exists")
+    if quant_mode:
+        from viddet_tpu.core.precision import INT8_POLICY
+
+        module, _ = get_model("yolo3_darknet53_coco", policy=INT8_POLICY)
+    else:
+        module, _ = get_model("yolo3_darknet53_coco")
     images = jnp.zeros((BATCH, 416, 416, 3), jnp.float32)
     variables = module.init(jax.random.key(0), images, train=False)
     nms = NMSConfig(topk=TOPK, post_nms=POST_NMS)
@@ -107,6 +118,11 @@ def main():
 
     rng = jax.random.key(1)
     frames = jax.random.uniform(rng, (BATCH, 416, 416, 3)).astype(jnp.bfloat16)
+
+    if quant_mode:
+        from viddet_tpu import quant
+
+        variables = quant.calibrate(module, variables, [frames])
 
     # NOTE on sync: on the experimental `axon` platform block_until_ready
     # can return before execution finishes; a host fetch (np.asarray) is the
@@ -143,6 +159,7 @@ def main():
                 "post_nms": POST_NMS,
                 "batch_latency_ms": round(p50_batch_latency_ms, 2),
                 "device": str(devices[0]),
+                **({"quant": quant_mode} if quant_mode else {}),
             }
         )
     )

@@ -41,6 +41,23 @@ def test_detect_cli_images(image_dir, tmp_path):
             break
 
 
+def test_detect_cli_quant_int8(image_dir, tmp_path):
+    """--quant int8 with explicit --calib-images: calibrated quantized
+    detection end-to-end (same output contract as the float path)."""
+    from viddet_tpu.cli.detect import main
+
+    out = str(tmp_path / "out_q")
+    main([
+        "--network", "yolo3_tiny_darknet", "--dataset", "voc",
+        "--input", image_dir, "--output", out,
+        "--data-shape", "64", "--batch-size", "2",
+        "--thresh", "0.0", "--save-detections", "--no-draw",
+        "--quant", "int8", "--calib-images", image_dir,
+        "--calib-batches", "1",
+    ])
+    assert "img0.txt" in sorted(os.listdir(out))
+
+
 def test_dump_config_and_config_file(tmp_path, capsys):
     from viddet_tpu.cli.train_yolov3 import parse_args
 
@@ -90,6 +107,20 @@ def test_evaluate_cli_synthetic(tmp_path, caplog):
         "--batch-size", "4", "--max-images", "8", "--num-workers", "0",
     ])
     # random weights -> mAP near 0, but the full pipeline must run
+    assert any("mAP" in r.message for r in caplog.records)
+
+
+def test_evaluate_cli_quant_int8(tmp_path, caplog):
+    """--quant int8 end-to-end: calibration pass + quantized eval run."""
+    from viddet_tpu.cli.evaluate import main
+
+    main([
+        "--network", "yolo3_tiny_darknet", "--dataset", "synthetic",
+        "--data-root", "synthetic", "--data-shape", "64",
+        "--batch-size", "4", "--max-images", "4", "--num-workers", "0",
+        "--quant", "int8", "--calib-batches", "1",
+    ])
+    assert any("int8 calibration" in r.message for r in caplog.records)
     assert any("mAP" in r.message for r in caplog.records)
 
 

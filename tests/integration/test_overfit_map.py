@@ -80,3 +80,31 @@ def test_overfit_reaches_high_map():
     )
     names, values = metric.get()
     assert values[-1] > 0.85, dict(zip(names, values))
+
+    # mAP-retention gate for PTQ (PARITY.md "Int8 PTQ"): the int8-quantized
+    # twin of the overfit model must keep (nearly) all of the float mAP.
+    from viddet_tpu import quant
+    from viddet_tpu.core.precision import Policy
+
+    q_module = YOLOv3(
+        num_classes=NUM_CLASSES, backbone="tiny",
+        policy=Policy(compute_dtype=jnp.float32, quant="int8"),
+        anchors=ANCHORS, strides=STRIDES,
+    )
+    q_vars = quant.calibrate(
+        q_module,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        [images],
+    )
+    q_ids, q_scores, q_boxes = forward_and_postprocess(
+        q_module, q_vars, images, NMSConfig(backend="xla")
+    )
+    q_metric = VOCMApMetric(class_names=[f"c{i}" for i in range(NUM_CLASSES)])
+    q_metric.update(
+        np.asarray(q_boxes), np.asarray(q_ids), np.asarray(q_scores),
+        labels[:, :, :4], labels[:, :, 4],
+    )
+    q_names, q_values = q_metric.get()
+    assert q_values[-1] > 0.8 * values[-1], (
+        dict(zip(names, values)), dict(zip(q_names, q_values))
+    )

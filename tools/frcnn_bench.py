@@ -47,13 +47,25 @@ def main(argv=None):
         rng, (args.batch, args.size, args.size, 3)
     ).astype(jnp.float32)
 
+    import os
+
+    quant_mode = os.environ.get("VIDDET_QUANT")  # staged int8 PTQ variant
     for backend in args.backends.split(","):
         cfg = dataclasses.replace(F.FRCNNConfig(), roi_backend=backend)
-        module = F.FasterRCNN(num_classes=80, config=cfg)
+        kw = {}
+        if quant_mode:
+            from viddet_tpu.core.precision import INT8_POLICY
+
+            kw["policy"] = INT8_POLICY
+        module = F.FasterRCNN(num_classes=80, config=cfg, **kw)
         variables = module.init(
             {"params": jax.random.key(0), "sampling": jax.random.key(1)},
             frames, train=False,
         )
+        if quant_mode:
+            from viddet_tpu import quant
+
+            variables = quant.calibrate(module, variables, [frames])
 
         @jax.jit
         def infer(variables, images):

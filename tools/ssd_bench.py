@@ -41,13 +41,25 @@ def main(argv=None):
     from viddet_tpu.models import get_model
     from viddet_tpu.models.ssd import ssd_forward_and_postprocess
 
-    module, _ = get_model(args.network)
+    import os
+
+    quant_mode = os.environ.get("VIDDET_QUANT")  # staged int8 PTQ variant
+    if quant_mode:
+        from viddet_tpu.core.precision import INT8_POLICY
+
+        module, _ = get_model(args.network, policy=INT8_POLICY)
+    else:
+        module, _ = get_model(args.network)
     frames = jax.random.uniform(
         jax.random.key(1), (args.batch, 512, 512, 3)
     ).astype(jnp.bfloat16)
     variables = module.init(
         jax.random.key(0), frames[:1].astype(jnp.float32), train=False
     )
+    if quant_mode:
+        from viddet_tpu import quant
+
+        variables = quant.calibrate(module, variables, [frames])
 
     @jax.jit
     def infer(variables, images):

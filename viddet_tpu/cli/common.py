@@ -279,3 +279,45 @@ def load_weights(module, weights_path: str, image_size: int = 416):
         params, batch_stats = load_weights_npz(weights_path)
         variables = {"params": params, "batch_stats": batch_stats}
     return variables
+
+
+def add_quant_flags(p) -> None:
+    """``--quant int8`` + ``--calib-batches``: post-training int8 inference
+    (viddet_tpu/quant.py).  A TPU-native feature with no reference
+    counterpart (SURVEY.md §5 — the reference runs f32 throughout): conv
+    cells run as BN-folded int8 MXU convs (2x bf16 peak on v5e) after a
+    short activation-range calibration pass.  NOT bit-for-bit with the
+    float path; off by default."""
+    p.add_argument(
+        "--quant", default="", choices=["", "int8"],
+        help="post-training quantization for inference (int8 MXU convs; "
+             "needs --calib-batches of calibration data)",
+    )
+    p.add_argument(
+        "--calib-batches", type=int, default=4,
+        help="batches used to calibrate activation ranges for --quant",
+    )
+
+
+def quant_policy_kw(args) -> dict:
+    """Model-factory kwargs for the --quant flag ({} when unset)."""
+    if not getattr(args, "quant", ""):
+        return {}
+    from viddet_tpu.core.precision import INT8_POLICY
+
+    return {"policy": INT8_POLICY}
+
+
+def calibrate_variables(module, variables, batches, logger):
+    """Run PTQ calibration over ``batches`` (arrays of images); returns the
+    variables with the populated ``quant`` collection."""
+    import jax
+
+    from viddet_tpu import quant
+
+    variables = quant.calibrate(module, variables, batches)
+    logger.info(
+        "int8 calibration: %d batches, %d conv cells ranged",
+        len(batches), len(jax.tree_util.tree_leaves(variables["quant"])),
+    )
+    return variables

@@ -55,7 +55,13 @@ def parse_args(argv=None):
                    help="emit one clip per this many frames")
     p.add_argument("--temporal-agg", default="max",
                    choices=("stack", "max", "mean", "conv"))
-    from viddet_tpu.cli.common import parse_with_config
+    from viddet_tpu.cli.common import add_quant_flags, parse_with_config
+    add_quant_flags(p)
+    p.add_argument("--calib-images", default="",
+                   help="image file/dir used to calibrate --quant int8 "
+                        "activation ranges (required with --quant; detect "
+                        "inputs may be a live stream, so calibration data "
+                        "is explicit)")
     return parse_with_config(p, argv)
 
 
@@ -84,11 +90,38 @@ def collect_inputs(path: str):
     return "images", [path]
 
 
+def _calibrate_for_detect(module, variables, args, transform, logger):
+    """PTQ range calibration from --calib-images (detect inputs may be a
+    live stream, so the calibration set is an explicit still-image source).
+    Temporal models calibrate on static k-frame clips of the same images."""
+    from viddet_tpu.cli.common import calibrate_variables
+
+    if not args.calib_images:
+        raise SystemExit("--quant int8 needs --calib-images (file or dir)")
+    kind, files = collect_inputs(args.calib_images)
+    if kind != "images" or not files:
+        raise SystemExit(f"--calib-images {args.calib_images!r}: no images")
+    limit = args.batch_size * max(1, args.calib_batches)
+    batches = []
+    for start in range(0, min(len(files), limit), args.batch_size):
+        chunk = files[start : start + args.batch_size]
+        frames = [transform(imread_rgb(f))[0] for f in chunk]
+        batch = np.stack(frames)
+        k = getattr(args, "temporal_k", 1)  # serve.py reuses this helper
+        if k > 1:  # static clip: same frame k times
+            batch = np.repeat(batch[:, None], k, axis=1)
+        batches.append(jnp.asarray(batch))
+    return calibrate_variables(module, variables, batches, logger)
+
+
 def main(argv=None):
     args = parse_args(argv)
     logger = setup_logging()
     os.makedirs(args.output, exist_ok=True)
 
+    from viddet_tpu.cli.common import quant_policy_kw
+
+    qkw = quant_policy_kw(args)
     temporal = args.temporal_k > 1
     if temporal:
         # k-frame clip model over the dataset's class set (same
@@ -100,10 +133,10 @@ def main(argv=None):
         backbone = "tiny" if "tiny" in args.network else "darknet53"
         module, class_names = temporal_yolo3_custom(
             list(class_names), k=args.temporal_k,
-            aggregation=args.temporal_agg, backbone=backbone,
+            aggregation=args.temporal_agg, backbone=backbone, **qkw,
         )
     else:
-        module, class_names = build_model(args.network, args.dataset)
+        module, class_names = build_model(args.network, args.dataset, **qkw)
     variables = load_weights(module, args.weights, args.data_shape)
 
     from viddet_tpu.cli.common import make_predictor
@@ -112,6 +145,11 @@ def main(argv=None):
 
     size = (args.data_shape, args.data_shape)
     transform = ValTransform(size=size, letterbox_resize=True)
+
+    if getattr(args, "quant", ""):
+        variables = _calibrate_for_detect(
+            module, variables, args, transform, logger
+        )
 
     kind, files = collect_inputs(args.input)
     if temporal and kind != "video":

@@ -48,7 +48,8 @@ def parse_args(argv=None):
     p.add_argument("--temporal-stride", type=int, default=1)
     p.add_argument("--temporal-agg", default="max",
                    choices=["stack", "max", "mean", "conv"])
-    from viddet_tpu.cli.common import parse_with_config
+    from viddet_tpu.cli.common import add_quant_flags, parse_with_config
+    add_quant_flags(p)
     return parse_with_config(p, argv)
 
 
@@ -57,21 +58,6 @@ def evaluate(module, variables, dataset, metric, args, logger):
     from viddet_tpu.parallel.mesh import make_mesh, put_batch, replicate
 
     infer = make_predictor(module)
-
-    # Multi-chip eval: shard the batch over the data mesh (the reference
-    # splits eval batches across GPUs the same way — SURVEY.md §4.2); GSPMD
-    # needs the batch divisible by the device count, else fall back to the
-    # default single-device placement.
-    mesh = make_mesh()
-    sharded = mesh.devices.size > 1 and args.batch_size % mesh.devices.size == 0
-    if sharded:
-        variables = jax.device_put(variables, replicate(mesh))
-        logger.info("eval sharded over %d device(s)", mesh.devices.size)
-    elif mesh.devices.size > 1:
-        logger.info(
-            "eval on 1 device (batch %d not divisible by %d devices)",
-            args.batch_size, mesh.devices.size,
-        )
 
     size = (args.data_shape, args.data_shape)
     if getattr(args, "temporal_k", 1) > 1:
@@ -89,6 +75,36 @@ def evaluate(module, variables, dataset, metric, args, logger):
         train=False,
         num_workers=args.num_workers,
     )
+
+    if getattr(args, "quant", ""):
+        from viddet_tpu.cli.common import calibrate_variables
+
+        calib, it = [], iter(loader)
+        try:
+            for _ in range(max(1, args.calib_batches)):
+                try:
+                    calib.append(jnp.asarray(next(it)[0]))
+                except StopIteration:
+                    break
+        finally:
+            it.close()
+        variables = calibrate_variables(module, variables, calib, logger)
+
+    # Multi-chip eval: shard the batch over the data mesh (the reference
+    # splits eval batches across GPUs the same way — SURVEY.md §4.2); GSPMD
+    # needs the batch divisible by the device count, else fall back to the
+    # default single-device placement.
+    mesh = make_mesh()
+    sharded = mesh.devices.size > 1 and args.batch_size % mesh.devices.size == 0
+    if sharded:
+        variables = jax.device_put(variables, replicate(mesh))
+        logger.info("eval sharded over %d device(s)", mesh.devices.size)
+    elif mesh.devices.size > 1:
+        logger.info(
+            "eval on 1 device (batch %d not divisible by %d devices)",
+            args.batch_size, mesh.devices.size,
+        )
+
     t0 = time.time()
     seen = 0
     det_file = open(args.save_detections, "w") if args.save_detections else None
@@ -199,17 +215,20 @@ def main(argv=None):
             logger.info("%-*s %s", width, name,
                         f"{value:.4f}" if isinstance(value, float) else value)
         return
+    from viddet_tpu.cli.common import quant_policy_kw
+
+    qkw = quant_policy_kw(args)
     if temporal:
         from viddet_tpu.models.zoo import temporal_yolo3_custom
 
         backbone = "tiny" if "tiny" in args.network else "darknet53"
         module, class_names = temporal_yolo3_custom(
             dataset.classes, k=args.temporal_k,
-            aggregation=args.temporal_agg, backbone=backbone,
+            aggregation=args.temporal_agg, backbone=backbone, **qkw,
         )
     else:
         module, class_names = build_model(
-            args.network, args.dataset, classes=dataset.classes
+            args.network, args.dataset, classes=dataset.classes, **qkw
         )
     variables = load_weights(module, args.weights, args.data_shape)
     metric = metric_factory(class_names)

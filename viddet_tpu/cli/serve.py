@@ -57,6 +57,11 @@ def parse_args(argv=None):
     p.add_argument("--flush-ms", type=float, default=5.0,
                    help="max wait to fill a batch once one request is held")
     p.add_argument("--request-timeout", type=float, default=30.0)
+    from viddet_tpu.cli.common import add_quant_flags
+    add_quant_flags(p)
+    p.add_argument("--calib-images", default="",
+                   help="image file/dir for --quant int8 range calibration "
+                        "(required with --quant)")
     return parse_with_config(p, argv)
 
 
@@ -154,11 +159,22 @@ def serve_forever(args, logger) -> ThreadingHTTPServer:
 
     Split from main() so tests can run the whole stack on an ephemeral
     port and shut it down cleanly."""
-    module, class_names = build_model(args.network, args.dataset)
+    from viddet_tpu.cli.common import quant_policy_kw
+
+    module, class_names = build_model(
+        args.network, args.dataset, **quant_policy_kw(args)
+    )
     variables = load_weights(module, args.weights, args.data_shape)
     infer = make_predictor(module)
     transform = ValTransform(size=(args.data_shape, args.data_shape),
                              letterbox_resize=True)
+
+    if getattr(args, "quant", ""):
+        from viddet_tpu.cli.detect import _calibrate_for_detect
+
+        variables = _calibrate_for_detect(
+            module, variables, args, transform, logger
+        )
 
     service = DetectionService(
         infer, variables, transform,

@@ -17,11 +17,20 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class Policy:
-    """What dtype each class of tensor uses."""
+    """What dtype each class of tensor uses.
+
+    ``quant`` opts conv cells into post-training quantization at inference:
+    ``"int8"`` runs every ConvBNLeaky as a BN-folded int8xint8->int32 MXU
+    conv with per-output-channel weight scales and a per-tensor activation
+    scale calibrated offline (``viddet_tpu.quant``).  v5e int8 MXU peak is
+    2x bf16 — this is a speed/accuracy trade, NOT bit-for-bit with the
+    float path, and is off everywhere by default.
+    """
 
     param_dtype: jnp.dtype = jnp.float32  # stored parameters
     compute_dtype: jnp.dtype = jnp.bfloat16  # conv/matmul activations
     output_dtype: jnp.dtype = jnp.float32  # heads / losses / box decode
+    quant: str | None = None  # None | "int8" (PTQ inference)
 
     def cast_to_compute(self, x):
         return jnp.asarray(x, self.compute_dtype)
@@ -32,3 +41,4 @@ class Policy:
 
 DEFAULT_POLICY = Policy()
 FLOAT32_POLICY = Policy(compute_dtype=jnp.float32)
+INT8_POLICY = Policy(quant="int8")

@@ -78,6 +78,11 @@ class ConvBNLeaky(nn.Module):
     the default conv backend is XLA; the Pallas kernel stays available
     opt-in via ``VIDDET_CONV_BACKEND=pallas`` (``core/platform.py``).
     Parameter trees are identical on every path.
+
+    With ``policy.quant == "int8"`` the inference path runs as a BN-folded
+    int8xint8->int32 MXU conv using calibrated activation ranges from the
+    ``"quant"`` collection (see ``viddet_tpu.quant``); training and
+    calibration applies still take the float path.
     """
 
     features: int
@@ -88,6 +93,41 @@ class ConvBNLeaky(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.policy.quant == "int8":
+            from viddet_tpu import quant
+
+            act_amax = self.variable(
+                "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+            )
+            if not train and not self.is_initializing():
+                if quant.is_calibrating():
+                    act_amax.value = jnp.maximum(
+                        act_amax.value,
+                        jnp.max(jnp.abs(x)).astype(jnp.float32),
+                    )
+                    # fall through: calibration observes the float path
+                else:
+                    kernel = _ConvParams(
+                        self.features,
+                        self.kernel_size,
+                        self.policy.param_dtype,
+                        name="Conv_0",
+                    )(x.shape[-1])
+                    scale, bias, mean, var = _BNParams(
+                        self.policy.param_dtype, name="BatchNorm_0"
+                    )(self.features)
+                    return quant.int8_conv_bn(
+                        x,
+                        kernel,
+                        scale,
+                        bias,
+                        mean,
+                        var,
+                        act_amax.value,
+                        strides=self.strides,
+                        act="leaky",
+                        out_dtype=self.policy.compute_dtype,
+                    )
         if (
             not train
             and not self.is_initializing()

@@ -17,6 +17,14 @@ from viddet_tpu.core.precision import Policy, DEFAULT_POLICY
 
 
 class _ConvBN(nn.Module):
+    """conv -> BN -> (ReLU), the ResNet unit cell.
+
+    Honors ``policy.quant == "int8"`` the same way ConvBNLeaky does
+    (models/common.py): BN-folded int8 MXU conv at inference with
+    calibrated activation ranges, so SSD/Faster R-CNN backbones quantize
+    under the same ``viddet_tpu.quant`` PTQ flow as the YOLO family.
+    """
+
     features: int
     kernel: int = 3
     strides: int = 1
@@ -26,6 +34,33 @@ class _ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.policy.quant == "int8":
+            from viddet_tpu import quant
+            from viddet_tpu.models.common import _BNParams, _ConvParams
+
+            act_amax = self.variable(
+                "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+            )
+            if not train and not self.is_initializing():
+                if quant.is_calibrating():
+                    act_amax.value = jnp.maximum(
+                        act_amax.value,
+                        jnp.max(jnp.abs(x)).astype(jnp.float32),
+                    )
+                else:
+                    kernel = _ConvParams(
+                        self.features, self.kernel, self.policy.param_dtype,
+                        name="Conv_0",
+                    )(x.shape[-1])
+                    scale, bias, mean, var = _BNParams(
+                        self.policy.param_dtype, name="BatchNorm_0"
+                    )(self.features)
+                    return quant.int8_conv_bn(
+                        x, kernel, scale, bias, mean, var, act_amax.value,
+                        strides=self.strides,
+                        act="relu" if self.act else "none",
+                        out_dtype=self.policy.compute_dtype,
+                    )
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
