@@ -21,11 +21,14 @@ chipcheck:
 	python tools/tpu_parity_check.py
 	python tools/trace_tail.py --group compact
 	python tools/trace_tail.py --group scores
+	python tools/trace_tail.py --group topm
 	VIDDET_COMPACT_KERNEL=1 python tools/tpu_parity_check.py
 	VIDDET_SCORE_KERNEL=masked python tools/tpu_parity_check.py
+	VIDDET_TOPM_KERNEL=rank python tools/tpu_parity_check.py
 	python bench.py
 	VIDDET_COMPACT_KERNEL=1 python bench.py
 	VIDDET_SCORE_KERNEL=masked python bench.py
+	VIDDET_TOPM_KERNEL=rank python bench.py
 	VIDDET_QUANT=int8 python bench.py
 
 # full perf record, one command (run after chipcheck when the tunnel is up);

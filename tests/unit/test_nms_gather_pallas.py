@@ -199,3 +199,60 @@ def test_anchor_scores_masked_variant_bit_exact():
         # cell-layout order: per scale, (cell, anchor); flat_raws order is
         # (anchor-major per scale) already matching _make_scales' reshape
         np.testing.assert_array_equal(np.asarray(out), oracle)
+
+
+def test_extract_top_m_rank_matches_serial_loop():
+    """The parallel all-pairs rank must reproduce the serial argmax-extract
+    loop bitwise: stable descending order (ties lowest-index-first),
+    including heavy exact ties, the chunk-boundary remainder, and the
+    degenerate m > C case (masked steps emit -1.0/0 in both)."""
+    from viddet_tpu.ops.nms_gather_pallas import (
+        _extract_top_m,
+        _extract_top_m_rank,
+    )
+
+    rng = np.random.default_rng(23)
+    cases = [
+        (jnp.asarray(rng.random((400, 80)).astype(np.float32)), 9, 64),
+        # heavy exact ties: few distinct values
+        (
+            jnp.asarray(
+                rng.integers(0, 4, size=(100, 20)).astype(np.float32) / 4.0
+            ),
+            9,
+            32,
+        ),
+        # chunk boundary not dividing k
+        (jnp.asarray(rng.random((37, 11)).astype(np.float32)), 5, 16),
+        # m > C: extraction runs out of real entries
+        (jnp.asarray(rng.random((8, 3)).astype(np.float32)), 5, 8),
+    ]
+    for pairs, m, rc in cases:
+        v_ref, i_ref = jax.jit(_extract_top_m, static_argnums=1)(pairs, m)
+        v_out, i_out = jax.jit(
+            _extract_top_m_rank, static_argnums=(1, 2)
+        )(pairs, m, rc)
+        np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_out))
+        np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_out))
+
+
+def test_gather_topm_rank_variant_bit_exact():
+    """gather_decode_pairs with topm_variant='rank' must equal the
+    production 'extract' variant bitwise on every hierarchical output,
+    end to end through the interpret-mode kernel."""
+    rng = np.random.default_rng(29)
+    b, img, c, k, m, j = 2, 64, 20, 40, 9, 5
+    cells, meta, consts, _flat = _make_scales(rng, b, img, c)
+    n = consts.shape[0]
+    a_idx = jnp.asarray(rng.integers(0, n, size=(b, k)).astype(np.int32))
+
+    ref = gather_decode_pairs(
+        tuple(cells), a_idx, meta, extract_m=m, hot_j=j, interpret=True,
+        topm_variant="extract",
+    )
+    out = gather_decode_pairs(
+        tuple(cells), a_idx, meta, extract_m=m, hot_j=j, interpret=True,
+        topm_variant="rank",
+    )
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(o))

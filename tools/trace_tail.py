@@ -14,6 +14,7 @@ Variant groups:
   finalize  finalize_candidates (column-form kernel)
   compact   compact_and_pad: pallas kernel vs the XLA vmap tail
   scores    anchor-score kernel: slice vs lane-masked formulations
+  topm      gather-decode top-m: serial extract vs all-pairs rank
   glue      the XLA class-offset + compact tail for attribution
 """
 
@@ -179,6 +180,54 @@ def build_variants(group, b, k, topk, m, j, c, interpret=False):
             tuple(raws),
         ))
 
+    if group in ("all", "topm"):
+        # gather-decode kernel top-m formulations: serial argmax-extract
+        # (production) vs parallel all-pairs rank (candidate — see
+        # _extract_top_m_rank).  Both bit-identical; flip the production
+        # default with VIDDET_TOPM_KERNEL=rank if this shows rank faster.
+        from viddet_tpu.ops.nms_gather_pallas import gather_decode_pairs
+
+        na = 3
+        anchors_416 = (
+            ((116, 90), (156, 198), (373, 326)),
+            ((30, 61), (62, 45), (59, 119)),
+            ((10, 13), (16, 30), (33, 23)),
+        )
+        raws, meta = [], []
+        rkey = jax.random.split(jax.random.key(1), 4)
+        for si, (anc, st) in enumerate(zip(anchors_416, (32, 16, 8))):
+            h = w = 416 // st
+            raws.append(jax.random.normal(
+                rkey[si], (b, h * w, na * (5 + c))
+            ).astype(jnp.bfloat16))
+            meta.append((h * w, w, st, tuple(
+                (float(x), float(y)) for x, y in anc
+            )))
+        meta = tuple(meta)
+        n_total = sum(mm[0] for mm in meta) * na
+        aidx = jax.random.randint(rkey[3], (b, k), 0, n_total)
+
+        def topm_once(variant):
+            def body(*args):
+                rs, ai = args[:-1], args[-1]
+                outs = gather_decode_pairs(
+                    tuple(rs), ai, meta, extract_m=m, hot_j=j,
+                    interpret=interpret, topm_variant=variant,
+                )
+                return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+            return body
+
+        variants.append((
+            "topm_extract",
+            _named(chain(topm_once("extract"), len(raws) + 1), "topm_extract"),
+            tuple(raws) + (aidx,),
+        ))
+        variants.append((
+            "topm_rank",
+            _named(chain(topm_once("rank"), len(raws) + 1), "topm_rank"),
+            tuple(raws) + (aidx,),
+        ))
+
     if group in ("all", "glue"):
         import jax as _jax
 
@@ -218,7 +267,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--group", default="all",
                    choices=("all", "scan", "finalize", "glue", "compact",
-                            "scores"))
+                            "scores", "topm"))
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--topk", type=int, default=400)
     p.add_argument("--classes", type=int, default=80)

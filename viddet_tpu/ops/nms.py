@@ -26,6 +26,7 @@ is validated against this implementation; this file is the oracle.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -181,9 +182,7 @@ def _nms_on_candidates(cand_boxes, top_scores, cls_idx, valid, iou_thresh, post_
         # On hardware the kernel is gated by VIDDET_COMPACT_KERNEL until its
         # first on-chip compile+parity run (Mosaic acceptance is not provable
         # from interpret mode; tools/tpu_parity_check.py flips the evidence).
-        import os as _os
-
-        if interp or _os.environ.get("VIDDET_COMPACT_KERNEL", "0") == "1":
+        if interp or os.environ.get("VIDDET_COMPACT_KERNEL", "0") == "1":
             return compact_and_pad_pallas(
                 keep, top_scores, cls_idx, cand_boxes, post_nms, interpret=interp
             )
@@ -366,8 +365,6 @@ def multiclass_nms_late_decode_fused(
 
     interp = backend == "pallas_interpret"
     if anchor_score is None:
-        import os
-
         from viddet_tpu.ops.nms_gather_pallas import anchor_scores
 
         # "masked" is the candidate faster formulation, exact by
@@ -401,6 +398,10 @@ def multiclass_nms_late_decode_fused(
         extract_m=m if use_hier else 0,
         hot_j=j if use_hier else 0,
         interpret=interp,
+        # "rank" is the parallel all-pairs top-m formulation, bit-identical
+        # by construction; stays opt-in until trace_tail --group topm proves
+        # it on-chip.  Trace-time knob like the other VIDDET_* flags.
+        topm_variant=os.environ.get("VIDDET_TOPM_KERNEL", "extract"),
     )
     if use_hier:
         boxes_k, v_m, i_m, hot_flat, hot_idx = outs

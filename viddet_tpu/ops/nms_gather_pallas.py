@@ -102,7 +102,54 @@ def _extract_top_m(pairs, m):
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)  # (k, m) each
 
 
-def _make_kernel(g, meta, k, c, extract_m, hot_j):
+def _extract_top_m_rank(pairs, m, rows_chunk=64):
+    """Per-row top-m via an all-pairs rank — no serial dependency chain.
+
+    ``_extract_top_m``'s m argmax-extract steps form a serial VPU
+    dependency chain (~35 us/step at batch 128, docs/perf_notes.md
+    variant table: ~0.5 ms total at m=9).  Here each row's elements are
+    ranked in ONE parallel pass: rank[j] = #{l : p[l] > p[j] or
+    (p[l] == p[j] and l < j)} — the exact stable descending order
+    ``_extract_top_m`` produces (ties go lowest-index-first), so the
+    (vals, idxs) outputs are bit-identical.  The (rows, C, C) compare
+    intermediate (~10 MiB/image at k=400, C=80 in f32) is chunked over
+    rows to bound scoped VMEM; chunks are independent and pipeline.
+
+    Whether Mosaic's rank-3 codegen actually beats the serial chain is an
+    on-chip question — staged behind VIDDET_TOPM_KERNEL=rank, measured by
+    tools/trace_tail.py --group topm.
+    """
+    k, c = pairs.shape
+    vals = []
+    idxs = []
+    for r0 in range(0, k, rows_chunk):
+        r1 = min(r0 + rows_chunk, k)
+        r = r1 - r0
+        p = pairs[r0:r1]  # (r, c)
+        pj = p[:, :, None]  # value being ranked, broadcast over lanes
+        pl_ = p[:, None, :]  # competitors, broadcast over sublanes
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (r, c, c), 1)
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (r, c, c), 2)
+        beats = (pl_ > pj) | ((pl_ == pj) & (iota_l < iota_j))
+        rank = jnp.sum(
+            beats.astype(jnp.float32), axis=2
+        )  # (r, c) exact small-int counts
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
+        v_rows = []
+        i_rows = []
+        for t in range(m):
+            oh = (rank == float(t)).astype(jnp.float32)  # one-hot (or zero
+            # rows when t >= c — then emit -1.0/0 exactly like the
+            # extraction loop's masked-out steps)
+            hit = jnp.sum(oh, axis=-1)
+            v_rows.append(jnp.sum(p * oh, axis=-1) + (hit - 1.0))
+            i_rows.append(jnp.sum(iota_c.astype(jnp.float32) * oh, axis=-1))
+        vals.append(jnp.stack(v_rows, axis=-1))
+        idxs.append(jnp.stack(i_rows, axis=-1).astype(jnp.int32))
+    return jnp.concatenate(vals, axis=0), jnp.concatenate(idxs, axis=0)
+
+
+def _make_kernel(g, meta, k, c, extract_m, hot_j, topm_variant="extract"):
     """Kernel over a group of ``g`` images (see ``_group_size``).
 
     meta: static per-scale tuples (cells, width, stride, anchors) with
@@ -110,6 +157,9 @@ def _make_kernel(g, meta, k, c, extract_m, hot_j):
     extract_m: if > 0, emit per-box top-m pair values/class indices plus
     the hot_j-box pigeonhole repair set instead of the dense pair tensor
     (fuel for the hierarchical exact stage-2 top-k).
+    topm_variant: "extract" (serial argmax-extract steps, production) or
+    "rank" (parallel all-pairs rank, staged — see ``_extract_top_m_rank``);
+    both produce bit-identical outputs.
     """
     na = len(meta[0][3])
     d = 5 + c
@@ -203,7 +253,10 @@ def _make_kernel(g, meta, k, c, extract_m, hot_j):
             op_ref[gi] = pairs
             return
         m = extract_m
-        v_m, i_m = _extract_top_m(pairs, m)
+        if topm_variant == "rank":
+            v_m, i_m = _extract_top_m_rank(pairs, m)
+        else:
+            v_m, i_m = _extract_top_m(pairs, m)
         vm_ref[gi] = v_m
         im_ref[gi] = i_m
 
@@ -545,7 +598,8 @@ def anchor_scores(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("meta", "extract_m", "hot_j", "interpret")
+    jax.jit,
+    static_argnames=("meta", "extract_m", "hot_j", "interpret", "topm_variant"),
 )
 def gather_decode_pairs(
     raws: Sequence[jnp.ndarray],
@@ -554,6 +608,7 @@ def gather_decode_pairs(
     extract_m: int = 0,
     hot_j: int = 0,
     interpret: bool = False,
+    topm_variant: str = "extract",
 ):
     """Fused per-scale gather -> late decode -> (boxes, pair scores).
 
@@ -572,6 +627,13 @@ def gather_decode_pairs(
       hot_flat (B,J,C) f32, hot_idx (B,1,J) i32) where J = hot_j — the
       hierarchical stage-2 inputs (see ``_stage2_hier_and_nms``).
     """
+    if topm_variant not in ("extract", "rank"):
+        # a typo'd VIDDET_TOPM_KERNEL silently measuring the wrong kernel
+        # would corrupt the flip decision — fail loudly
+        raise ValueError(
+            f"gather_decode_pairs topm_variant {topm_variant!r} is not"
+            " 'extract' or 'rank'"
+        )
     b = raws[0].shape[0]
     na = len(meta[0][3])
     c = raws[0].shape[-1] // na - 5
@@ -581,7 +643,7 @@ def gather_decode_pairs(
     # their big DMAs, and wider blocks only add VMEM pressure.  Grouping
     # pays off only for tiny-buffer kernels (see finalize_candidates).
     g = 1
-    kernel = _make_kernel(g, meta, k, c, extract_m, hot_j)
+    kernel = _make_kernel(g, meta, k, c, extract_m, hot_j, topm_variant)
 
     in_specs = [
         pl.BlockSpec(
