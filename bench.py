@@ -97,9 +97,9 @@ def main():
     # Staged PTQ variant (docs/perf_notes.md pending queue): VIDDET_QUANT=int8
     # rebuilds the flagship with the int8 MXU policy and calibrates on the
     # bench frames.  Off for the driver's plain `python bench.py`.
-    quant_mode = os.environ.get("VIDDET_QUANT")
-    if quant_mode and quant_mode != "int8":
-        raise ValueError(f"VIDDET_QUANT={quant_mode!r}: only 'int8' exists")
+    from viddet_tpu.quant import mode_from_env
+
+    quant_mode = mode_from_env()
     if quant_mode:
         from viddet_tpu.core.precision import INT8_POLICY
 

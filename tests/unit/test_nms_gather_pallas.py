@@ -204,8 +204,9 @@ def test_anchor_scores_masked_variant_bit_exact():
 def test_extract_top_m_rank_matches_serial_loop():
     """The parallel all-pairs rank must reproduce the serial argmax-extract
     loop bitwise: stable descending order (ties lowest-index-first),
-    including heavy exact ties, the chunk-boundary remainder, and the
-    degenerate m > C case (masked steps emit -1.0/0 in both)."""
+    including heavy exact ties, negative values, the chunk-boundary
+    remainder, and the degenerate m > C case (masked steps emit (-inf, 0)
+    in both)."""
     from viddet_tpu.ops.nms_gather_pallas import (
         _extract_top_m,
         _extract_top_m_rank,
@@ -226,6 +227,15 @@ def test_extract_top_m_rank_matches_serial_loop():
         (jnp.asarray(rng.random((37, 11)).astype(np.float32)), 5, 16),
         # m > C: extraction runs out of real entries
         (jnp.asarray(rng.random((8, 3)).astype(np.float32)), 5, 8),
+        # logit-shaped: mostly < -1, one positive per row — the extraction
+        # sentinel must never outrank real (negative) values
+        (
+            jnp.asarray(
+                (rng.normal(size=(16, 6)) * 2.0 - 4.0).astype(np.float32)
+            ),
+            4,
+            8,
+        ),
     ]
     for pairs, m, rc in cases:
         v_ref, i_ref = jax.jit(_extract_top_m, static_argnums=1)(pairs, m)

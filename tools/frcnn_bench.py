@@ -49,7 +49,9 @@ def main(argv=None):
 
     import os
 
-    quant_mode = os.environ.get("VIDDET_QUANT")  # staged int8 PTQ variant
+    from viddet_tpu.quant import mode_from_env
+
+    quant_mode = mode_from_env()  # staged int8 PTQ variant (validated)
     for backend in args.backends.split(","):
         cfg = dataclasses.replace(F.FRCNNConfig(), roi_backend=backend)
         kw = {}
@@ -88,6 +90,7 @@ def main(argv=None):
             "unit": "frames/s",
             "batch": args.batch,
             "batch_latency_ms": round(best / args.iters * 1000.0, 2),
+            **({"quant": quant_mode} if quant_mode else {}),
         }))
 
 

@@ -41,9 +41,9 @@ def main(argv=None):
     from viddet_tpu.models import get_model
     from viddet_tpu.models.ssd import ssd_forward_and_postprocess
 
-    import os
+    from viddet_tpu.quant import mode_from_env
 
-    quant_mode = os.environ.get("VIDDET_QUANT")  # staged int8 PTQ variant
+    quant_mode = mode_from_env()  # staged int8 PTQ variant (validated)
     if quant_mode:
         from viddet_tpu.core.precision import INT8_POLICY
 
@@ -87,6 +87,7 @@ def main(argv=None):
                 "batch": args.batch,
                 "batch_latency_ms": round(best / args.iters * 1000.0, 2),
                 "device": str(jax.devices()[0]),
+                **({"quant": quant_mode} if quant_mode else {}),
             }
         )
     )

@@ -96,38 +96,13 @@ class ConvBNLeaky(nn.Module):
         if self.policy.quant == "int8":
             from viddet_tpu import quant
 
-            act_amax = self.variable(
-                "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+            q = quant.maybe_int8_cell(
+                self, x, train,
+                features=self.features, kernel_size=self.kernel_size,
+                strides=self.strides, policy=self.policy, act="leaky",
             )
-            if not train and not self.is_initializing():
-                if quant.is_calibrating():
-                    act_amax.value = jnp.maximum(
-                        act_amax.value,
-                        jnp.max(jnp.abs(x)).astype(jnp.float32),
-                    )
-                    # fall through: calibration observes the float path
-                else:
-                    kernel = _ConvParams(
-                        self.features,
-                        self.kernel_size,
-                        self.policy.param_dtype,
-                        name="Conv_0",
-                    )(x.shape[-1])
-                    scale, bias, mean, var = _BNParams(
-                        self.policy.param_dtype, name="BatchNorm_0"
-                    )(self.features)
-                    return quant.int8_conv_bn(
-                        x,
-                        kernel,
-                        scale,
-                        bias,
-                        mean,
-                        var,
-                        act_amax.value,
-                        strides=self.strides,
-                        act="leaky",
-                        out_dtype=self.policy.compute_dtype,
-                    )
+            if q is not None:
+                return q
         if (
             not train
             and not self.is_initializing()

@@ -36,31 +36,15 @@ class _ConvBN(nn.Module):
     def __call__(self, x, train: bool = False):
         if self.policy.quant == "int8":
             from viddet_tpu import quant
-            from viddet_tpu.models.common import _BNParams, _ConvParams
 
-            act_amax = self.variable(
-                "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+            q = quant.maybe_int8_cell(
+                self, x, train,
+                features=self.features, kernel_size=self.kernel,
+                strides=self.strides, policy=self.policy,
+                act="relu" if self.act else "none",
             )
-            if not train and not self.is_initializing():
-                if quant.is_calibrating():
-                    act_amax.value = jnp.maximum(
-                        act_amax.value,
-                        jnp.max(jnp.abs(x)).astype(jnp.float32),
-                    )
-                else:
-                    kernel = _ConvParams(
-                        self.features, self.kernel, self.policy.param_dtype,
-                        name="Conv_0",
-                    )(x.shape[-1])
-                    scale, bias, mean, var = _BNParams(
-                        self.policy.param_dtype, name="BatchNorm_0"
-                    )(self.features)
-                    return quant.int8_conv_bn(
-                        x, kernel, scale, bias, mean, var, act_amax.value,
-                        strides=self.strides,
-                        act="relu" if self.act else "none",
-                        out_dtype=self.policy.compute_dtype,
-                    )
+            if q is not None:
+                return q
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),

@@ -84,8 +84,10 @@ def _extract_top_m(pairs, m):
 
     Runs on data already in registers/VMEM (the XLA equivalent costs ~1 ms
     of HBM re-reads at batch 128).  Exact: each step removes exactly one
-    (lowest-index) occurrence of the current max, so tied values survive
-    into later steps and the extracted multiset equals lax.top_k's.
+    (lowest-index) occurrence of the current max (masked to -inf so finite
+    inputs of any sign are never out-ranked by an extracted slot), so tied
+    values survive into later steps and the extracted multiset equals
+    lax.top_k's.  Steps beyond the row width (m > C) emit (-inf, 0).
     """
     k, c = pairs.shape
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (k, c), 1)
@@ -98,7 +100,7 @@ def _extract_top_m(pairs, m):
         )  # first-match col
         vals.append(mx)
         idxs.append(im)
-        cur = jnp.where(iota_c == im[:, None], -1.0, cur)
+        cur = jnp.where(iota_c == im[:, None], -jnp.inf, cur)
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)  # (k, m) each
 
 
@@ -111,7 +113,8 @@ def _extract_top_m_rank(pairs, m, rows_chunk=64):
     ranked in ONE parallel pass: rank[j] = #{l : p[l] > p[j] or
     (p[l] == p[j] and l < j)} — the exact stable descending order
     ``_extract_top_m`` produces (ties go lowest-index-first), so the
-    (vals, idxs) outputs are bit-identical.  The (rows, C, C) compare
+    (vals, idxs) outputs are bit-identical for any FINITE input
+    (incl. m > C, where both emit (-inf, 0) for the missing steps).  The (rows, C, C) compare
     intermediate (~10 MiB/image at k=400, C=80 in f32) is chunked over
     rows to bound scoped VMEM; chunks are independent and pipeline.
 
@@ -139,10 +142,12 @@ def _extract_top_m_rank(pairs, m, rows_chunk=64):
         i_rows = []
         for t in range(m):
             oh = (rank == float(t)).astype(jnp.float32)  # one-hot (or zero
-            # rows when t >= c — then emit -1.0/0 exactly like the
+            # rows when t >= c — then emit (-inf, 0) exactly like the
             # extraction loop's masked-out steps)
             hit = jnp.sum(oh, axis=-1)
-            v_rows.append(jnp.sum(p * oh, axis=-1) + (hit - 1.0))
+            v_rows.append(
+                jnp.where(hit > 0.0, jnp.sum(p * oh, axis=-1), -jnp.inf)
+            )
             i_rows.append(jnp.sum(iota_c.astype(jnp.float32) * oh, axis=-1))
         vals.append(jnp.stack(v_rows, axis=-1))
         idxs.append(jnp.stack(i_rows, axis=-1).astype(jnp.int32))

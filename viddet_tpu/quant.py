@@ -47,12 +47,68 @@ missing/zero range is a hard error (`check_calibrated`).
 from __future__ import annotations
 
 import contextlib
+import os
 from typing import Any, Iterable
 
 import jax
 import jax.numpy as jnp
 
 _CALIBRATING = False
+
+
+def mode_from_env() -> str | None:
+    """Validated ``VIDDET_QUANT`` value: ``"int8"`` or ``None``.
+
+    Single source of truth for every bench/CLI entry point — a typo'd
+    value (``VIDDET_QUANT=1``, ``in8``) must fail loudly rather than
+    silently measuring (and recording) the wrong path, the same rule the
+    ``VIDDET_*_KERNEL`` knobs follow.
+    """
+    mode = os.environ.get("VIDDET_QUANT")
+    if mode and mode != "int8":
+        raise ValueError(f"VIDDET_QUANT={mode!r}: only 'int8' exists")
+    return mode or None
+
+
+def maybe_int8_cell(mod, x, train, *, features, kernel_size, strides,
+                    policy, act):
+    """Shared PTQ hook for conv+BN cells (ConvBNLeaky, resnet._ConvBN).
+
+    Returns the int8 deploy output, or ``None`` when the caller should run
+    its float path: policy is not int8, training, module init, or
+    calibration (which additionally records the activation abs-max into the
+    cell's ``"quant"`` variable before falling through to float).
+
+    Kept here so the two cell families can never drift: the ``"quant"``
+    variable is created on every non-float policy trace (so it exists in
+    the variables tree from init on), and the deploy branch reuses the
+    cell's own ``Conv_0``/``BatchNorm_0`` parameter names via the shared
+    param shims.
+    """
+    if policy.quant != "int8":
+        return None
+    from viddet_tpu.models.common import _BNParams, _ConvParams
+
+    act_amax = mod.variable(
+        "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+    )
+    if train or mod.is_initializing():
+        return None
+    if is_calibrating():
+        act_amax.value = jnp.maximum(
+            act_amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
+        )
+        return None  # calibration observes the float path
+    kernel = _ConvParams(
+        features, kernel_size, policy.param_dtype, name="Conv_0"
+    )(x.shape[-1])
+    scale, bias, mean, var = _BNParams(
+        policy.param_dtype, name="BatchNorm_0"
+    )(features)
+    return int8_conv_bn(
+        x, kernel, scale, bias, mean, var, act_amax.value,
+        strides=strides, act=act, out_dtype=policy.compute_dtype,
+    )
 
 
 def is_calibrating() -> bool:
