@@ -125,3 +125,48 @@ def test_clip_transforms_reject_mismatched_clips():
     val0 = ClipValTransform(size=(32, 32))
     with pytest.raises(ValueError, match="no k set"):
         val0(img, None)
+
+
+def test_color_distort_lut_matches_float_chain():
+    """The LUT implementation must be bit-identical, per transformed
+    channel, to the direct full-image float chain with the same gating
+    (LUTs precompute the identical f32 ops per possible uint8 value)."""
+    import cv2
+
+    from viddet_tpu.data.transforms import random_color_distort
+
+    def oracle(image, rng):
+        b = c = None
+        if rng.random() < 0.5:
+            b = rng.uniform(-32, 32)
+        if rng.random() < 0.5:
+            c = rng.uniform(0.5, 1.5)
+        if b is not None or c is not None:
+            img = image.astype(np.float32)
+            if b is not None:
+                img = img + np.float32(b)
+            if c is not None:
+                img = img * np.float32(c)
+            image = np.clip(img, 0, 255).astype(np.uint8)
+        k = d = None
+        if rng.random() < 0.5:
+            k = rng.uniform(0.5, 1.5)
+        if rng.random() < 0.5:
+            d = rng.uniform(-18, 18)
+        if k is not None or d is not None:
+            hsv = cv2.cvtColor(image, cv2.COLOR_RGB2HSV).astype(np.float32)
+            if k is not None:
+                hsv[..., 1] = hsv[..., 1] * np.float32(k)
+            if d is not None:
+                hsv[..., 0] = (hsv[..., 0] + np.float32(d)) % 180
+            hsv[..., 1:] = np.clip(hsv[..., 1:], 0, 255)
+            image = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+        return image
+
+    base = np.random.default_rng(0).integers(
+        0, 255, (97, 113, 3)
+    ).astype(np.uint8)
+    for seed in range(64):
+        out = random_color_distort(base, np.random.default_rng(seed))
+        want = oracle(base, np.random.default_rng(seed))
+        np.testing.assert_array_equal(out, want)
