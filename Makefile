@@ -42,6 +42,7 @@ benchall:
 	python tools/train_bench.py --family frcnn
 	python tools/serve_bench.py --concurrency 32 --requests 400
 	python tools/stream_bench.py --streams 4
+	python tools/loader_bench.py
 
 # build the C++ host decode library (also auto-built on first import)
 native:

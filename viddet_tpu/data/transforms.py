@@ -186,9 +186,14 @@ def random_expand(
     off_x = int(rng.uniform(0, ow - w))
     if fill is None:
         fill = (IMAGENET_MEAN * 255.0).astype(image.dtype)
-    canvas = np.empty((oh, ow, c), image.dtype)
-    canvas[:] = fill
-    canvas[off_y : off_y + h, off_x : off_x + w] = image
+    # copyMakeBorder writes only the border region (the naive
+    # fill-whole-canvas-then-paste double-writes the interior — measurable
+    # at expand ratios up to 4x on the loader's critical path)
+    value = [float(v) for v in np.broadcast_to(fill, (c,))]
+    canvas = cv2.copyMakeBorder(
+        image, off_y, oh - h - off_y, off_x, ow - w - off_x,
+        cv2.BORDER_CONSTANT, value=value,
+    )
     return canvas, apply_affine_to_boxes(boxes, np.array([1, 1, off_x, off_y], np.float32))
 
 
@@ -209,34 +214,49 @@ def random_crop_with_constraints(
     valid = boxes[:, 4] >= 0 if boxes.shape[1] > 4 else (boxes[:, :4] >= 0).all(1)
     if not valid.any():
         return image, boxes
+    gt = boxes[valid, :4]
+    area_g = (gt[:, 2] - gt[:, 0]) * (gt[:, 3] - gt[:, 1])
     candidates = []
     for (min_iou,) in constraints:
-        for _ in range(max_trial):
-            scale = rng.uniform(min_scale, 1.0)
-            ar = rng.uniform(
-                max(1 / max_aspect_ratio, scale * scale),
-                min(max_aspect_ratio, 1 / (scale * scale)),
-            )
-            ch = int(h * scale / np.sqrt(ar))
-            cw = int(w * scale * np.sqrt(ar))
-            cy = int(rng.uniform(0, h - ch)) if h > ch else 0
-            cx = int(rng.uniform(0, w - cw)) if w > cw else 0
-            crop = np.array([cx, cy, cx + cw, cy + ch], np.float32)
-            if min_iou is None:
-                candidates.append(crop)
-                break
-            gt = boxes[valid, :4]
-            ix1 = np.maximum(gt[:, 0], crop[0])
-            iy1 = np.maximum(gt[:, 1], crop[1])
-            ix2 = np.minimum(gt[:, 2], crop[2])
-            iy2 = np.minimum(gt[:, 3], crop[3])
-            inter = np.maximum(ix2 - ix1, 0) * np.maximum(iy2 - iy1, 0)
-            area_g = (gt[:, 2] - gt[:, 0]) * (gt[:, 3] - gt[:, 1])
-            area_c = cw * ch
-            iou = inter / np.maximum(area_g + area_c - inter, 1e-12)
-            if iou.min() >= min_iou:
-                candidates.append(crop)
-                break
+        # All max_trial samples for this constraint are drawn and scored in
+        # one vectorized batch; the sequential-scan semantics (the first
+        # trial meeting the IoU bar wins) are kept by taking the lowest
+        # passing index.  ~50 python-loop iterations of scalar numpy ops
+        # collapse to ~10 vector ops (~2 ms -> ~0.1 ms per sample).
+        scale = rng.uniform(min_scale, 1.0, size=max_trial)
+        ar = rng.uniform(
+            np.maximum(1.0 / max_aspect_ratio, scale * scale),
+            np.minimum(max_aspect_ratio, 1.0 / (scale * scale)),
+        )
+        ch = (h * scale / np.sqrt(ar)).astype(np.int64)
+        cw = (w * scale * np.sqrt(ar)).astype(np.int64)
+        cy = np.where(
+            ch < h,
+            (rng.uniform(0.0, 1.0, size=max_trial) * (h - ch)).astype(np.int64),
+            0,
+        )
+        cx = np.where(
+            cw < w,
+            (rng.uniform(0.0, 1.0, size=max_trial) * (w - cw)).astype(np.int64),
+            0,
+        )
+        crops = np.stack(
+            [cx, cy, cx + cw, cy + ch], axis=1
+        ).astype(np.float32)
+        if min_iou is None:
+            candidates.append(crops[0])
+            continue
+        ix1 = np.maximum(gt[:, 0], crops[:, 0:1])
+        iy1 = np.maximum(gt[:, 1], crops[:, 1:2])
+        ix2 = np.minimum(gt[:, 2], crops[:, 2:3])
+        iy2 = np.minimum(gt[:, 3], crops[:, 3:4])
+        inter = np.maximum(ix2 - ix1, 0) * np.maximum(iy2 - iy1, 0)  # (n, G)
+        area_c = (cw * ch).astype(np.float32)[:, None]
+        iou = inter / np.maximum(area_g + area_c - inter, 1e-12)
+        ok = iou.min(axis=1) >= min_iou
+        first = int(np.argmax(ok))
+        if ok[first]:
+            candidates.append(crops[first])
     if not candidates:
         return image, boxes
     crop = candidates[int(rng.integers(len(candidates)))]
