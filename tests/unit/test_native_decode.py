@@ -76,3 +76,79 @@ def test_video_stream(tmp_path):
     want = normalize(np.full((1, 1, 3), 120, np.uint8))[0, 0]
     np.testing.assert_allclose(frame[48, 48], want, atol=0.15)
     vs.close()
+
+
+def test_batch_decode_u8_mode(jpegs):
+    """normalize=False emits raw uint8 frames whose device-side
+    normalization lands on the f32 path's values (within the uint8
+    rounding quantum), with identical affines."""
+    from viddet_tpu.data.transforms import normalize
+
+    out_f, aff_f, orig_f = native.decode_jpeg_batch(
+        jpegs, (128, 128), letterbox=True
+    )
+    out_u, aff_u, orig_u = native.decode_jpeg_batch(
+        jpegs, (128, 128), letterbox=True, normalize=False
+    )
+    assert out_u.dtype == np.uint8 and out_u.shape == out_f.shape
+    np.testing.assert_array_equal(aff_u, aff_f)
+    np.testing.assert_array_equal(orig_u, orig_f)
+    # normalize(u8) vs fused-f32: differ only by the ~0.5/255 rounding
+    # quantum divided by the smallest std
+    assert np.abs(normalize(out_u) - out_f).max() <= (0.52 / 255.0) / 0.224
+
+
+def test_video_stream_u8_mode(tmp_path):
+    import cv2 as _cv2
+
+    path = str(tmp_path / "v.mp4")
+    vw = _cv2.VideoWriter(
+        path, _cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48)
+    )
+    for i in range(6):
+        vw.write(np.full((48, 64, 3), 20 * i + 10, np.uint8))
+    vw.release()
+
+    f32 = {
+        idx: (img, aff)
+        for idx, img, aff in native.NativeVideoStream(path, (32, 32))
+    }
+    u8s = native.NativeVideoStream(path, (32, 32), normalize=False)
+    n = 0
+    from viddet_tpu.data.transforms import normalize
+
+    for idx, img, aff in u8s:
+        assert img.dtype == np.uint8
+        ref_img, ref_aff = f32[idx]
+        np.testing.assert_array_equal(aff, ref_aff)
+        assert np.abs(normalize(img) - ref_img).max() <= (0.52 / 255.0) / 0.224
+        n += 1
+    assert n == len(f32) == 6
+
+
+def test_predictor_ingraph_normalize_matches_host():
+    """make_predictor(uint8_input=True)'s in-graph normalize must match
+    data.transforms.normalize to within 1 ulp on the same uint8 input
+    (same f32 expression; XLA may rewrite /255 as a reciprocal multiply,
+    so exact bit-equality is not guaranteed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from viddet_tpu.data.transforms import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        normalize,
+    )
+
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    @jax.jit
+    def dev_norm(x):
+        return (x.astype(jnp.float32) / 255.0 - mean) / std
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 256, (2, 16, 16, 3)).astype(np.uint8)
+    np.testing.assert_allclose(
+        np.asarray(dev_norm(x)), normalize(x), rtol=2e-7, atol=2e-7
+    )

@@ -95,9 +95,10 @@ def main(argv=None):
     else:
         module, _ = get_model(args.network)
         variables = load_weights(module, "", args.data_shape)
-        infer = make_predictor(module)
+        infer = make_predictor(module, uint8_input=True)
         transform = ValTransform(
-            size=(args.data_shape, args.data_shape), letterbox_resize=True
+            size=(args.data_shape, args.data_shape), letterbox_resize=True,
+            normalize=False
         )
         service = DetectionService(
             infer, variables, transform,

@@ -80,15 +80,16 @@ def main(argv=None):
         init_x = jnp.zeros((2, shape, shape, 3))
     variables = module.init(jax.random.key(0), init_x, train=False)
 
-    @jax.jit
-    def infer(v, im):
-        return forward_and_postprocess(module, v, im)
+    # uint8 frames + in-graph normalize (the production streaming path)
+    from viddet_tpu.cli.common import make_predictor
+
+    infer = make_predictor(module, uint8_input=True)
 
     # warm the executable
     warm_shape = (
         (args.batch, k, shape, shape, 3) if k > 1 else (args.batch, shape, shape, 3)
     )
-    np.asarray(infer(variables, jnp.zeros(warm_shape, jnp.float32))[0])
+    np.asarray(infer(variables, jnp.zeros(warm_shape, jnp.uint8))[0])
 
     from viddet_tpu import native
 
@@ -97,7 +98,8 @@ def main(argv=None):
     if args.streams > 1 or k > 1:
         from viddet_tpu.infer.multistream import open_sources, stream_detect_multi
 
-        transform = ValTransform(size=size, letterbox_resize=True)
+        transform = ValTransform(size=size, letterbox_resize=True,
+                                 normalize=False)
         sources = open_sources(
             [video] * args.streams, transform, need_rgb=False
         )
@@ -116,9 +118,12 @@ def main(argv=None):
         )
         return
     if native.available():
-        source = NativeFrameSource(video, size)
+        source = NativeFrameSource(video, size, normalize=False)
     else:
-        source = FrameSource(video, ValTransform(size=size, letterbox_resize=True))
+        source = FrameSource(
+            video, ValTransform(size=size, letterbox_resize=True,
+                                normalize=False)
+        )
 
     t0 = time.perf_counter()
     n = 0
@@ -132,7 +137,7 @@ def main(argv=None):
 
     # decode-only reference (host ceiling)
     if native.available():
-        source = NativeFrameSource(video, size)
+        source = NativeFrameSource(video, size, normalize=False)
         t0 = time.perf_counter()
         n = sum(1 for _ in source)
         dt = time.perf_counter() - t0

@@ -107,6 +107,12 @@ def _calibrate_for_detect(module, variables, args, transform, logger):
         chunk = files[start : start + args.batch_size]
         frames = [transform(imread_rgb(f))[0] for f in chunk]
         batch = np.stack(frames)
+        if batch.dtype == np.uint8:
+            # calibration applies the module directly (not the uint8-input
+            # predictor wrapper), so it must observe normalized activations
+            from viddet_tpu.data.transforms import normalize as _norm
+
+            batch = _norm(batch)
         k = getattr(args, "temporal_k", 1)  # serve.py reuses this helper
         if k > 1:  # static clip: same frame k times
             batch = np.repeat(batch[:, None], k, axis=1)
@@ -141,10 +147,12 @@ def main(argv=None):
 
     from viddet_tpu.cli.common import make_predictor
 
-    infer = make_predictor(module)
+    # uint8 frames host->device with in-graph normalization: 4x smaller
+    # transfers and no per-frame host float pass (see make_predictor)
+    infer = make_predictor(module, uint8_input=True)
 
     size = (args.data_shape, args.data_shape)
-    transform = ValTransform(size=size, letterbox_resize=True)
+    transform = ValTransform(size=size, letterbox_resize=True, normalize=False)
 
     if getattr(args, "quant", ""):
         variables = _calibrate_for_detect(

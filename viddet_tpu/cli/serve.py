@@ -165,9 +165,9 @@ def serve_forever(args, logger) -> ThreadingHTTPServer:
         args.network, args.dataset, **quant_policy_kw(args)
     )
     variables = load_weights(module, args.weights, args.data_shape)
-    infer = make_predictor(module)
+    infer = make_predictor(module, uint8_input=True)
     transform = ValTransform(size=(args.data_shape, args.data_shape),
-                             letterbox_resize=True)
+                             letterbox_resize=True, normalize=False)
 
     if getattr(args, "quant", ""):
         from viddet_tpu.cli.detect import _calibrate_for_detect

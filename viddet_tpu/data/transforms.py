@@ -327,10 +327,17 @@ class TrainTransform:
 
 @dataclasses.dataclass
 class ValTransform:
-    """Deterministic eval/inference transform: resize + normalize."""
+    """Deterministic eval/inference transform: resize + normalize.
+
+    ``normalize=False`` returns the resized uint8 image instead — the
+    device-normalize path for streaming/serving: frames cross host->device
+    at 1/4 the bytes and the identical ``(x/255 - mean)/std`` runs fused
+    on-chip (``cli.common.make_predictor(uint8_input=True)``).
+    """
 
     size: Tuple[int, int]
     letterbox_resize: bool = False
+    normalize: bool = True
 
     def __call__(self, image: np.ndarray, label: Optional[np.ndarray] = None):
         if self.letterbox_resize:
@@ -339,4 +346,4 @@ class ValTransform:
             image, affine = resize_plain(image, self.size)
         if label is not None:
             label = apply_affine_to_boxes(label, affine)
-        return normalize(image), label, affine
+        return (normalize(image) if self.normalize else image), label, affine

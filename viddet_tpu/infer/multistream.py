@@ -383,6 +383,7 @@ def open_sources(
                         transform.size,
                         every=every,
                         letterbox_resize=getattr(transform, "letterbox_resize", True),
+                        normalize=getattr(transform, "normalize", True),
                     )
             except Exception:
                 src = None

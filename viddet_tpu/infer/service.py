@@ -70,7 +70,12 @@ class DetectionService:
         self._flush_s = float(flush_ms) / 1e3
         self._max_in_flight = max(1, int(max_in_flight))
         h, w = transform.size
-        self._pad = np.zeros((h, w, 3), np.float32)
+        # match the transform's output dtype: uint8 when the transform
+        # defers normalization to the device (ValTransform normalize=False)
+        self._dtype = (
+            np.float32 if getattr(transform, "normalize", True) else np.uint8
+        )
+        self._pad = np.zeros((h, w, 3), self._dtype)
         self._q: "queue.Queue" = queue.Queue(maxsize=4 * self._batch_size)
         self._stop = threading.Event()
         self._served = 0
@@ -95,7 +100,7 @@ class DetectionService:
         slot = _Slot()
         deadline = None if timeout is None else time.monotonic() + timeout
         try:
-            self._q.put((slot, np.asarray(x, np.float32), affine), timeout=timeout)
+            self._q.put((slot, np.asarray(x, self._dtype), affine), timeout=timeout)
         except queue.Full:
             raise TimeoutError(
                 "detection service overloaded (request queue full)"

@@ -113,12 +113,13 @@ class NativeFrameSource:
     """
 
     def __init__(self, path, size: Tuple[int, int], every: int = 1,
-                 letterbox_resize: bool = True, queue_size: int = 64):
+                 letterbox_resize: bool = True, queue_size: int = 64,
+                 normalize: bool = True):
         from viddet_tpu import native
 
         self._stream = native.NativeVideoStream(
             str(path), size, letterbox=letterbox_resize, every=every,
-            ring_capacity=queue_size,
+            ring_capacity=queue_size, normalize=normalize,
         )
         self.fps = self._stream.fps
         self.width = self._stream.width
@@ -207,6 +208,7 @@ def stream_detect_video(
                 source = NativeFrameSource(
                     path, transform.size, every=every,
                     letterbox_resize=getattr(transform, "letterbox_resize", True),
+                    normalize=getattr(transform, "normalize", True),
                 )
             else:
                 source = FrameSource(path, transform, every=every)

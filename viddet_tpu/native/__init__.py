@@ -76,14 +76,27 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int,
     ]
-    lib.vd_video_open.restype = ctypes.c_void_p
-    lib.vd_video_open.argtypes = [
+    lib.vd_decode_jpeg_batch_u8.restype = ctypes.c_int
+    lib.vd_decode_jpeg_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
+    lib.vd_video_open2.restype = ctypes.c_void_p
+    lib.vd_video_open2.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.vd_video_read.restype = ctypes.c_int64
     lib.vd_video_read.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.vd_video_read_u8.restype = ctypes.c_int64
+    lib.vd_video_read_u8.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_float),
     ]
     lib.vd_video_info.restype = None
@@ -112,29 +125,42 @@ def decode_jpeg_batch(
     letterbox: bool = True,
     pad_value: int = 128,
     num_threads: int = 0,
+    normalize: bool = True,
 ):
     """Decode+preprocess a batch of JPEG files.
 
-    Returns (images (N, h, w, 3) float32 normalized, affines (N, 4),
-    orig_sizes (N, 2) [h, w]; failed decodes have orig size 0).
+    Returns (images (N, h, w, 3), affines (N, 4), orig_sizes (N, 2) [h, w];
+    failed decodes have orig size 0).  ``normalize=True`` emits ImageNet-
+    normalized float32; ``normalize=False`` emits raw uint8 RGB for
+    device-side normalization (1/4 the host->device bytes — pair with
+    ``cli.common.make_predictor(uint8_input=True)``).
     """
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native decode unavailable: {_build_error}")
     h, w = size
     n = len(paths)
-    out = np.empty((n, h, w, 3), np.float32)
     affines = np.empty((n, 4), np.float32)
     orig = np.empty((n, 2), np.int32)
     arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
-    lib.vd_decode_jpeg_batch(
-        arr, n,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), w, h,
-        int(letterbox), pad_value,
+    common = (
+        w, h, int(letterbox), pad_value,
         affines.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         orig.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         num_threads,
     )
+    if normalize:
+        out = np.empty((n, h, w, 3), np.float32)
+        lib.vd_decode_jpeg_batch(
+            arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            *common,
+        )
+    else:
+        out = np.empty((n, h, w, 3), np.uint8)
+        lib.vd_decode_jpeg_batch_u8(
+            arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            *common,
+        )
     return out, affines, orig
 
 
@@ -149,15 +175,17 @@ class NativeVideoStream:
         pad_value: int = 128,
         every: int = 1,
         ring_capacity: int = 32,
+        normalize: bool = True,
     ):
         lib = _load()
         if lib is None:
             raise RuntimeError(f"native decode unavailable: {_build_error}")
         self._lib = lib
         self._size = size
-        self._handle = lib.vd_video_open(
+        self._normalize = normalize
+        self._handle = lib.vd_video_open2(
             os.fsencode(path), size[1], size[0], int(letterbox), pad_value,
-            every, ring_capacity,
+            every, ring_capacity, 0 if normalize else 1,
         )
         if not self._handle:
             raise FileNotFoundError(f"cannot open video: {path}")
@@ -168,15 +196,24 @@ class NativeVideoStream:
         self.width, self.height, self.fps = w.value, h.value, fps.value
 
     def read(self):
-        """-> (frame_index, image (h, w, 3) float32, affine (4,)) or None."""
+        """-> (frame_index, image (h, w, 3) f32 normalized — or uint8 when
+        constructed with ``normalize=False`` — affine (4,)) or None."""
         h, w = self._size
-        out = np.empty((h, w, 3), np.float32)
         affine = np.empty(4, np.float32)
-        idx = self._lib.vd_video_read(
-            self._handle,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            affine.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        )
+        if self._normalize:
+            out = np.empty((h, w, 3), np.float32)
+            idx = self._lib.vd_video_read(
+                self._handle,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                affine.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+        else:
+            out = np.empty((h, w, 3), np.uint8)
+            idx = self._lib.vd_video_read_u8(
+                self._handle,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                affine.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
         if idx < 0:
             return None
         return int(idx), out, affine

@@ -7,6 +7,9 @@
 // -> ImageNet normalization straight into a caller-provided float32 NHWC
 // staging buffer that Python hands to jax.device_put — no intermediate
 // uint8 images, no Python per-pixel work, GIL released for the whole batch.
+// Every entry point also has a uint8 output mode (vd_*_u8 / out_u8): frames
+// stay raw RGB and the normalization runs IN-GRAPH on the device instead
+// (4x smaller host->device transfers; cli.common.make_predictor).
 //
 // Exposed C ABI (ctypes-friendly):
 //   vd_decode_jpeg_batch   — threaded batch: files -> normalized tensors
@@ -52,9 +55,9 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jmp, 1);
 }
 
-// Bilinear sample + normalize an interleaved RGB uint8 image into out[3].
-inline void sample_norm(const uint8_t* rgb, int sw, int sh, float sx, float sy,
-                        float* out) {
+// Bilinear sample of an interleaved RGB uint8 image into v[3] (raw 0..255).
+inline void sample_bilinear(const uint8_t* rgb, int sw, int sh, float sx,
+                            float sy, float* v) {
   sx = sx < 0.f ? 0.f : (sx > sw - 1.f ? sw - 1.f : sx);
   sy = sy < 0.f ? 0.f : (sy > sh - 1.f ? sh - 1.f : sy);
   int x0 = static_cast<int>(sx);
@@ -67,19 +70,31 @@ inline void sample_norm(const uint8_t* rgb, int sw, int sh, float sx, float sy,
   const uint8_t* p10 = rgb + (y1 * sw + x0) * 3;
   const uint8_t* p11 = rgb + (y1 * sw + x1) * 3;
   for (int c = 0; c < 3; ++c) {
-    float v = (1 - ly) * ((1 - lx) * p00[c] + lx * p01[c]) +
-              ly * ((1 - lx) * p10[c] + lx * p11[c]);
-    out[c] = (v / 255.f - kMean[c]) / kStd[c];
+    v[c] = (1 - ly) * ((1 - lx) * p00[c] + lx * p01[c]) +
+           ly * ((1 - lx) * p10[c] + lx * p11[c]);
   }
 }
 
-// Resize (plain or letterbox) + normalize an RGB uint8 image into a float32
-// HWC buffer of (oh, ow).  affine out: [sx, sy, dx, dy] (box mapping
+// Resize (plain or letterbox) an RGB uint8 image into an HWC buffer of
+// (oh, ow).  kNorm=true writes ImageNet-normalized float32 (the classic
+// host-preprocess path); kNorm=false writes rounded uint8 — the
+// device-normalize path, where frames cross PCIe at 1/4 the bytes and the
+// identical (x/255 - mean)/std runs fused on-chip (cli.common
+// make_predictor uint8_input).  affine out: [sx, sy, dx, dy] (box mapping
 // out = in * s + d).  pad_value is raw uint8 gray for letterbox borders.
-void resize_normalize(const uint8_t* rgb, int sw, int sh, float* out, int ow,
-                      int oh, bool letterbox, int pad_value, float* affine) {
+template <typename OutT, bool kNorm>
+void resize_impl(const uint8_t* rgb, int sw, int sh, OutT* out, int ow,
+                 int oh, bool letterbox, int pad_value, float* affine) {
   float sx_scale, sy_scale;
   int dx = 0, dy = 0, rw = ow, rh = oh;
+  OutT padv[3];
+  for (int c = 0; c < 3; ++c) {
+    if constexpr (kNorm) {
+      padv[c] = (pad_value / 255.f - kMean[c]) / kStd[c];
+    } else {
+      padv[c] = static_cast<OutT>(pad_value);
+    }
+  }
   if (letterbox) {
     float s = std::fmin(static_cast<float>(ow) / sw, static_cast<float>(oh) / sh);
     rw = static_cast<int>(std::lround(sw * s));
@@ -87,20 +102,17 @@ void resize_normalize(const uint8_t* rgb, int sw, int sh, float* out, int ow,
     dx = (ow - rw) / 2;
     dy = (oh - rh) / 2;
     sx_scale = sy_scale = s;
-    float padf[3];
-    for (int c = 0; c < 3; ++c)
-      padf[c] = (pad_value / 255.f - kMean[c]) / kStd[c];
     for (int y = 0; y < oh; ++y) {
       bool border_row = y < dy || y >= dy + rh;
-      float* row = out + y * ow * 3;
+      OutT* row = out + static_cast<size_t>(y) * ow * 3;
       if (border_row) {
         for (int x = 0; x < ow; ++x)
-          for (int c = 0; c < 3; ++c) row[x * 3 + c] = padf[c];
+          for (int c = 0; c < 3; ++c) row[x * 3 + c] = padv[c];
       } else {
         for (int x = 0; x < dx; ++x)
-          for (int c = 0; c < 3; ++c) row[x * 3 + c] = padf[c];
+          for (int c = 0; c < 3; ++c) row[x * 3 + c] = padv[c];
         for (int x = dx + rw; x < ow; ++x)
-          for (int c = 0; c < 3; ++c) row[x * 3 + c] = padf[c];
+          for (int c = 0; c < 3; ++c) row[x * 3 + c] = padv[c];
       }
     }
   } else {
@@ -110,16 +122,41 @@ void resize_normalize(const uint8_t* rgb, int sw, int sh, float* out, int ow,
   // cv2-compatible half-pixel mapping: src = (dst + 0.5) / scale - 0.5
   for (int y = dy; y < dy + rh; ++y) {
     float sy = (y - dy + 0.5f) / sy_scale - 0.5f;
-    float* row = out + y * ow * 3;
+    OutT* row = out + static_cast<size_t>(y) * ow * 3;
     for (int x = dx; x < dx + rw; ++x) {
       float sx = (x - dx + 0.5f) / sx_scale - 0.5f;
-      sample_norm(rgb, sw, sh, sx, sy, row + x * 3);
+      float v[3];
+      sample_bilinear(rgb, sw, sh, sx, sy, v);
+      for (int c = 0; c < 3; ++c) {
+        if constexpr (kNorm) {
+          row[x * 3 + c] = (v[c] / 255.f - kMean[c]) / kStd[c];
+        } else {
+          // round-to-nearest like cv2's uint8 INTER_LINEAR output;
+          // +0.5f-truncate == round-half-up for the non-negative clamped
+          // range (std::lround is a per-pixel libm call — measured 10%
+          // slower than the whole f32-normalize path)
+          float r = v[c] < 0.f ? 0.f : (v[c] > 255.f ? 255.f : v[c]);
+          row[x * 3 + c] = static_cast<OutT>(r + 0.5f);
+        }
+      }
     }
   }
   affine[0] = sx_scale;
   affine[1] = sy_scale;
   affine[2] = static_cast<float>(dx);
   affine[3] = static_cast<float>(dy);
+}
+
+void resize_normalize(const uint8_t* rgb, int sw, int sh, float* out, int ow,
+                      int oh, bool letterbox, int pad_value, float* affine) {
+  resize_impl<float, true>(rgb, sw, sh, out, ow, oh, letterbox, pad_value,
+                           affine);
+}
+
+void resize_u8(const uint8_t* rgb, int sw, int sh, uint8_t* out, int ow,
+               int oh, bool letterbox, int pad_value, float* affine) {
+  resize_impl<uint8_t, false>(rgb, sw, sh, out, ow, oh, letterbox, pad_value,
+                              affine);
 }
 
 // Decode one JPEG file to RGB (with DCT-domain prescale toward the target).
@@ -169,16 +206,12 @@ bool decode_jpeg_file(const char* path, int target_w, int target_h,
   return true;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Decode `n` JPEG files into out (n, oh, ow, 3) float32, normalized.
-// affines: (n, 4).  orig_sizes: (n, 2) [h, w] of source images. Returns the
-// number of successfully decoded images; failed slots are zero-filled.
-int vd_decode_jpeg_batch(const char** paths, int n, float* out, int ow, int oh,
-                         int letterbox, int pad_value, float* affines,
-                         int* orig_sizes, int num_threads) {
+// Threaded batch decode shared by the f32-normalized and uint8 ABI entry
+// points below.
+template <typename OutT, bool kNorm>
+int decode_jpeg_batch_impl(const char** paths, int n, OutT* out, int ow,
+                           int oh, int letterbox, int pad_value,
+                           float* affines, int* orig_sizes, int num_threads) {
   std::atomic<int> next{0}, ok{0};
   if (num_threads <= 0) num_threads = std::thread::hardware_concurrency();
   if (num_threads <= 0) num_threads = 1;
@@ -189,10 +222,10 @@ int vd_decode_jpeg_batch(const char** paths, int n, float* out, int ow, int oh,
     while (true) {
       int i = next.fetch_add(1);
       if (i >= n) return;
-      float* dst = out + static_cast<size_t>(i) * ow * oh * 3;
+      OutT* dst = out + static_cast<size_t>(i) * ow * oh * 3;
       if (decode_jpeg_file(paths[i], ow, oh, &rgb, &w, &h, &w0, &h0)) {
-        resize_normalize(rgb.data(), w, h, dst, ow, oh, letterbox != 0,
-                         pad_value, affines + i * 4);
+        resize_impl<OutT, kNorm>(rgb.data(), w, h, dst, ow, oh,
+                                 letterbox != 0, pad_value, affines + i * 4);
         // fold the DCT prescale (decoded/original) into the affine so it
         // maps from the file's TRUE coordinate system
         affines[i * 4] *= static_cast<float>(w) / w0;
@@ -201,7 +234,7 @@ int vd_decode_jpeg_batch(const char** paths, int n, float* out, int ow, int oh,
         orig_sizes[i * 2 + 1] = w0;
         ok.fetch_add(1);
       } else {
-        std::memset(dst, 0, sizeof(float) * ow * oh * 3);
+        std::memset(dst, 0, sizeof(OutT) * ow * oh * 3);
         affines[i * 4] = 1.f;
         affines[i * 4 + 1] = 1.f;
         affines[i * 4 + 2] = 0.f;
@@ -217,12 +250,38 @@ int vd_decode_jpeg_batch(const char** paths, int n, float* out, int ow, int oh,
   return ok.load();
 }
 
+}  // namespace
+
+extern "C" {
+
+// Decode `n` JPEG files into out (n, oh, ow, 3) float32, normalized.
+// affines: (n, 4).  orig_sizes: (n, 2) [h, w] of source images. Returns the
+// number of successfully decoded images; failed slots are zero-filled.
+int vd_decode_jpeg_batch(const char** paths, int n, float* out, int ow, int oh,
+                         int letterbox, int pad_value, float* affines,
+                         int* orig_sizes, int num_threads) {
+  return decode_jpeg_batch_impl<float, true>(
+      paths, n, out, ow, oh, letterbox, pad_value, affines, orig_sizes,
+      num_threads);
+}
+
+// uint8 variant: frames stay raw RGB for device-side normalization
+// (1/4 the transfer bytes; see resize_impl).
+int vd_decode_jpeg_batch_u8(const char** paths, int n, uint8_t* out, int ow,
+                            int oh, int letterbox, int pad_value,
+                            float* affines, int* orig_sizes,
+                            int num_threads) {
+  return decode_jpeg_batch_impl<uint8_t, false>(
+      paths, n, out, ow, oh, letterbox, pad_value, affines, orig_sizes,
+      num_threads);
+}
+
 // ---------------------------------------------------------------------------
 // Video streaming: FFmpeg demux/decode thread -> preprocessed frame ring.
 // ---------------------------------------------------------------------------
 
 struct VideoFrame {
-  std::vector<float> data;   // (oh, ow, 3) normalized
+  std::vector<uint8_t> buf;  // (oh, ow, 3): f32 normalized or raw uint8
   float affine[4];
   int64_t index;
 };
@@ -233,6 +292,7 @@ struct VideoHandle {
   SwsContext* sws = nullptr;
   int stream_index = -1;
   int ow, oh, letterbox, pad_value, every;
+  int out_u8 = 0;  // uint8 frames for device-side normalization
   int src_w = 0, src_h = 0;
   double fps = 0.0;
 
@@ -283,9 +343,16 @@ static void video_decode_loop(VideoHandle* vh) {
                   rgb->data[0] + static_cast<size_t>(y) * rgb->linesize[0],
                   static_cast<size_t>(vh->src_w) * 3);
     VideoFrame vf;
-    vf.data.resize(static_cast<size_t>(vh->ow) * vh->oh * 3);
-    resize_normalize(packed.data(), vh->src_w, vh->src_h, vf.data.data(), vh->ow,
-                     vh->oh, vh->letterbox != 0, vh->pad_value, vf.affine);
+    size_t count = static_cast<size_t>(vh->ow) * vh->oh * 3;
+    vf.buf.resize(count * (vh->out_u8 ? 1 : sizeof(float)));
+    if (vh->out_u8) {
+      resize_u8(packed.data(), vh->src_w, vh->src_h, vf.buf.data(), vh->ow,
+                vh->oh, vh->letterbox != 0, vh->pad_value, vf.affine);
+    } else {
+      resize_normalize(packed.data(), vh->src_w, vh->src_h,
+                       reinterpret_cast<float*>(vf.buf.data()), vh->ow,
+                       vh->oh, vh->letterbox != 0, vh->pad_value, vf.affine);
+    }
     vf.index = idx;
     std::unique_lock<std::mutex> lk(vh->mu);
     vh->cv_push.wait(lk, [&] { return vh->ring.size() < vh->ring_cap || vh->stop; });
@@ -329,9 +396,12 @@ static void video_decode_loop(VideoHandle* vh) {
 }
 
 // Open a video for streaming preprocessed frames. Returns handle or null.
-void* vd_video_open(const char* path, int ow, int oh, int letterbox,
-                    int pad_value, int every, int ring_capacity) {
+// out_u8 != 0 -> frames are raw uint8 RGB (device-side normalization).
+void* vd_video_open2(const char* path, int ow, int oh, int letterbox,
+                     int pad_value, int every, int ring_capacity,
+                     int out_u8) {
   auto* vh = new VideoHandle();
+  vh->out_u8 = out_u8;
   vh->ow = ow;
   vh->oh = oh;
   vh->letterbox = letterbox;
@@ -367,8 +437,16 @@ void* vd_video_open(const char* path, int ow, int oh, int letterbox,
   return vh;
 }
 
+void* vd_video_open(const char* path, int ow, int oh, int letterbox,
+                    int pad_value, int every, int ring_capacity) {
+  return vd_video_open2(path, ow, oh, letterbox, pad_value, every,
+                        ring_capacity, /*out_u8=*/0);
+}
+
 // Pop one preprocessed frame. Returns frame index (>=0), or -1 on EOF.
-int64_t vd_video_read(void* handle, float* out, float* affine) {
+// `out` must match the handle's output mode: float32 for vd_video_open /
+// out_u8=0, uint8 for out_u8=1 (vd_video_read_u8 below is the typed alias).
+static int64_t video_read_raw(void* handle, void* out, float* affine) {
   auto* vh = static_cast<VideoHandle*>(handle);
   std::unique_lock<std::mutex> lk(vh->mu);
   vh->cv_pop.wait(lk, [&] { return !vh->ring.empty() || vh->done || vh->stop; });
@@ -377,9 +455,17 @@ int64_t vd_video_read(void* handle, float* out, float* affine) {
   vh->ring.pop();
   vh->cv_push.notify_one();
   lk.unlock();
-  std::memcpy(out, vf.data.data(), vf.data.size() * sizeof(float));
+  std::memcpy(out, vf.buf.data(), vf.buf.size());
   std::memcpy(affine, vf.affine, 4 * sizeof(float));
   return vf.index;
+}
+
+int64_t vd_video_read(void* handle, float* out, float* affine) {
+  return video_read_raw(handle, out, affine);
+}
+
+int64_t vd_video_read_u8(void* handle, uint8_t* out, float* affine) {
+  return video_read_raw(handle, out, affine);
 }
 
 void vd_video_info(void* handle, int* w, int* h, double* fps) {
