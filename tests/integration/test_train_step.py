@@ -59,3 +59,27 @@ def test_loss_decreases_overfit():
             first = float(losses["total"])
     last = float(losses["total"])
     assert last < 0.5 * first, (first, last)
+
+
+def test_uint8_batch_matches_host_normalized():
+    """A raw uint8 batch (the device-normalize loader path) must produce
+    the same losses as the same batch normalized on the host — up to the
+    1-ulp input difference (XLA may rewrite /255 as a reciprocal
+    multiply)."""
+    from viddet_tpu.data.transforms import normalize
+
+    # two identically-seeded setups: train_step donates its state, so the
+    # same state object cannot be stepped twice
+    _, state_a, step = tiny_setup()
+    _, state_b, _ = tiny_setup()
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    _, gt_boxes, gt_ids = make_batch(rng)
+
+    _, losses_u8 = step(state_a, jnp.asarray(u8), gt_boxes, gt_ids)
+    _, losses_f32 = step(state_b, jnp.asarray(normalize(u8)), gt_boxes, gt_ids)
+    for name in losses_f32:
+        np.testing.assert_allclose(
+            float(losses_u8[name]), float(losses_f32[name]),
+            rtol=1e-4, err_msg=name,
+        )

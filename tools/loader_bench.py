@@ -37,7 +37,9 @@ def _bench_loader(dataset, size, batch_size, num_workers, epochs=2):
 
     loader = DetectionLoader(
         dataset,
-        TrainTransform(size=(size, size)),
+        # normalize=False matches the production train CLIs: uint8 batches,
+        # normalization deferred to the device (train/loop._maybe_normalize)
+        TrainTransform(size=(size, size), normalize=False),
         batch_size=batch_size,
         train=True,
         num_workers=num_workers,

@@ -73,7 +73,7 @@ def main(argv=None):
     shape = args.data_shape
     loader = DetectionLoader(
         train_ds,
-        TrainTransform(size=(shape, shape)),
+        TrainTransform(size=(shape, shape), normalize=False),
         batch_size=args.batch_size,
         train=True,
         num_workers=args.num_workers,

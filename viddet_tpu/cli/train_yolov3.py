@@ -110,7 +110,11 @@ def mixup_batch(images, boxes, ids, rng):
     lam = rng.beta(1.5, 1.5, size=(b,)).astype(np.float32)
     lam = np.maximum(lam, 1.0 - lam)  # keep the primary image dominant
     lam_b = lam.reshape((b,) + (1,) * (images.ndim - 1))  # images or clips
-    mixed = images * lam_b + images[perm] * (1 - lam_b)
+    mixed = images.astype(np.float32) * lam_b + images[perm].astype(np.float32) * (1 - lam_b)
+    if images.dtype == np.uint8:
+        # keep the uint8 transfer path: quantizing the blend adds at most
+        # 0.5/255 of noise to an augmentation that is itself random
+        mixed = (mixed + 0.5).astype(np.uint8)
     boxes2 = np.concatenate([boxes, boxes[perm]], axis=1)
     ids2 = np.concatenate([ids, ids[perm]], axis=1)
     w = np.concatenate(
@@ -168,10 +172,12 @@ def main(argv=None):
         from viddet_tpu.data.clip_transforms import ClipTrainTransform
 
         train_transform = ClipTrainTransform(
-            size=(shape, shape), k=args.temporal_k
+            size=(shape, shape), k=args.temporal_k, normalize=False
         )
     else:
-        train_transform = TrainTransform(size=(shape, shape))
+        # uint8 batches + in-step normalize (train/loop._maybe_normalize):
+        # 4x smaller host->device transfers, faster host loader
+        train_transform = TrainTransform(size=(shape, shape), normalize=False)
     train_loader = DetectionLoader(
         train_ds,
         train_transform,
@@ -256,7 +262,12 @@ def main(argv=None):
                 dummy_state,
                 *put_batch(
                     (
-                        jnp.zeros((per, sh, sw, 3), jnp.float32),
+                        # dtype must match the hot loop's batches (uint8 for
+                        # the device-normalize loader) — jit caches on dtype
+                        jnp.zeros((per, sh, sw, 3),
+                                  jnp.uint8
+                                  if not getattr(train_transform, "normalize", True)
+                                  else jnp.float32),
                         -jnp.ones((per, train_loader.max_boxes, 4), jnp.float32),
                         -jnp.ones((per, train_loader.max_boxes), jnp.int32),
                     ),

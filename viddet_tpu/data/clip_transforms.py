@@ -44,14 +44,16 @@ class ClipTrainTransform:
     size: Tuple[int, int]
     letterbox_resize: bool = False
     k: int = 0  # 0 = require true clips; >=1 also tiles stills to k frames
+    normalize: bool = True  # False: uint8 clips, normalize in-step
 
     def __post_init__(self):
         self._frame_tf = TrainTransform(
-            size=self.size, letterbox_resize=self.letterbox_resize
+            size=self.size, letterbox_resize=self.letterbox_resize,
+            normalize=self.normalize,
         )
 
     def __call__(self, clip: np.ndarray, label: np.ndarray, rng: np.random.Generator):
-        """clip (k, H, W, 3) uint8 -> (k, h, w, 3) float32, label transformed."""
+        """clip (k, H, W, 3) uint8 -> (k, h, w, 3) f32 (or uint8), label transformed."""
         clip = _as_clip(clip, self.k)
         self._frame_tf.size = self.size
         seed = int(rng.integers(0, 2**63 - 1))
@@ -70,10 +72,12 @@ class ClipValTransform:
     size: Tuple[int, int]
     letterbox_resize: bool = False
     k: int = 0  # 0 = require true clips; >=1 also tiles stills to k frames
+    normalize: bool = True  # False: uint8 clips, normalize in-graph
 
     def __post_init__(self):
         self._frame_tf = ValTransform(
-            size=self.size, letterbox_resize=self.letterbox_resize
+            size=self.size, letterbox_resize=self.letterbox_resize,
+            normalize=self.normalize,
         )
 
     def __call__(self, clip: np.ndarray, label: Optional[np.ndarray] = None):

@@ -302,16 +302,26 @@ def random_hflip(
 
 @dataclasses.dataclass
 class TrainTransform:
-    """Full YOLO training transform: distort/expand/crop/resize/flip/norm."""
+    """Full YOLO training transform: distort/expand/crop/resize/flip/norm.
+
+    ``normalize=False`` keeps the sample uint8 end-to-end — the whole
+    augmentation chain already runs in uint8 — and defers the ImageNet
+    normalization to the jitted train step (train/loop.py normalizes
+    uint8 batches in-graph): 4x smaller host->device batch transfers and
+    one fewer full-image float pass per sample on the loader's critical
+    path.
+    """
 
     size: Tuple[int, int]  # (h, w)
     mixup: bool = False
     letterbox_resize: bool = False
+    normalize: bool = True
 
     def __call__(self, image: np.ndarray, label: np.ndarray, rng: np.random.Generator):
         """image uint8 HWC RGB, label (M, 6) [x1 y1 x2 y2 cls difficult].
 
-        Returns (image float32 normalized, label transformed).
+        Returns (image float32 normalized — or uint8 with
+        ``normalize=False`` — and the transformed label).
         """
         image = random_color_distort(image, rng)
         image, label = random_expand(image, label, rng)
@@ -322,7 +332,7 @@ class TrainTransform:
             image, affine = resize_plain(image, self.size)
         label = apply_affine_to_boxes(label, affine)
         image, label = random_hflip(image, label, rng)
-        return normalize(image), label
+        return (normalize(image) if self.normalize else image), label
 
 
 @dataclasses.dataclass

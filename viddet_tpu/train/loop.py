@@ -33,6 +33,26 @@ from viddet_tpu.train.losses import yolo_loss
 from viddet_tpu.train.state import TrainState
 
 
+
+def _maybe_normalize(images: jnp.ndarray) -> jnp.ndarray:
+    """Normalize uint8 batches in-graph; pass float batches through.
+
+    The loader's device-normalize path (``TrainTransform(normalize=False)``)
+    ships raw uint8 batches — 4x smaller host->device transfers and one
+    fewer full-image float pass per sample on the host.  The dtype check is
+    trace-time (one executable per input dtype), and the f32 expression
+    matches ``data.transforms.normalize`` within 1 ulp (XLA may rewrite
+    /255 as a reciprocal multiply).
+    """
+    if images.dtype == jnp.uint8:
+        from viddet_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+        images = (
+            images.astype(jnp.float32) / 255.0 - jnp.asarray(IMAGENET_MEAN)
+        ) / jnp.asarray(IMAGENET_STD)
+    return images
+
+
 def make_train_step(
     module,
     *,
@@ -48,6 +68,7 @@ def make_train_step(
     """
 
     def loss_fn(params, batch_stats, images, gt_boxes, gt_ids, gt_weights):
+        images = _maybe_normalize(images)
         outputs, mutated = module.apply(
             {"params": params, "batch_stats": batch_stats},
             images,
@@ -96,6 +117,7 @@ def make_ssd_train_step(module):
     from viddet_tpu.models.ssd import ssd_loss
 
     def loss_fn(params, batch_stats, images, gt_boxes, gt_ids):
+        images = _maybe_normalize(images)
         outputs, mutated = module.apply(
             {"params": params, "batch_stats": batch_stats},
             images,
@@ -127,6 +149,7 @@ def make_frcnn_train_step(module):
     cfg = module.config
 
     def loss_fn(params, batch_stats, rng, images, gt_boxes, gt_ids):
+        images = _maybe_normalize(images)
         sample_rng, target_rng = jax.random.split(rng)
         outputs, mutated = module.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -160,7 +183,10 @@ def make_eval_step(module, nms_config=None):
     @jax.jit
     def eval_step(params, batch_stats, images):
         return forward_and_postprocess(
-            module, {"params": params, "batch_stats": batch_stats}, images, nms
+            module,
+            {"params": params, "batch_stats": batch_stats},
+            _maybe_normalize(images),
+            nms,
         )
 
     return eval_step
