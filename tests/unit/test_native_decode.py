@@ -127,7 +127,7 @@ def test_video_stream_u8_mode(tmp_path):
 
 
 def test_predictor_ingraph_normalize_matches_host():
-    """make_predictor(uint8_input=True)'s in-graph normalize must match
+    """make_predictor's in-graph uint8 normalize must match
     data.transforms.normalize to within 1 ulp on the same uint8 input
     (same f32 expression; XLA may rewrite /255 as a reciprocal multiply,
     so exact bit-equality is not guaranteed)."""

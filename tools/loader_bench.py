@@ -61,7 +61,8 @@ def _make_packed(tmp, n, size, seed=0):
 
     from viddet_tpu.data.packed import PackedDetection, pack_dataset
 
-    img_dir = os.path.join(tmp, "imgs")
+    # size-stamped dirs: a --size change must not silently reuse JPEGs
+    img_dir = os.path.join(tmp, f"imgs-{size}")
     os.makedirs(img_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -90,7 +91,7 @@ def _make_packed(tmp, n, size, seed=0):
             img = rng.integers(0, 255, (size, size, 3)).astype(np.uint8)
             cv2.imwrite(src.image_path(i), img,
                         [cv2.IMWRITE_JPEG_QUALITY, 85])
-    prefix = os.path.join(tmp, "shards", "bench")
+    prefix = os.path.join(tmp, f"shards-{size}-{n}", "bench")
     os.makedirs(os.path.dirname(prefix), exist_ok=True)
     shards = pack_dataset(src, prefix, shard_size=max(n // 4, 1))
     return PackedDetection(shards, classes=src.classes,

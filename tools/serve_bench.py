@@ -95,7 +95,7 @@ def main(argv=None):
     else:
         module, _ = get_model(args.network)
         variables = load_weights(module, "", args.data_shape)
-        infer = make_predictor(module, uint8_input=True)
+        infer = make_predictor(module)
         transform = ValTransform(
             size=(args.data_shape, args.data_shape), letterbox_resize=True,
             normalize=False

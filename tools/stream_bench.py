@@ -58,7 +58,6 @@ def main(argv=None):
     from viddet_tpu.data.transforms import ValTransform
     from viddet_tpu.infer.stream import FrameSource, NativeFrameSource, stream_detect
     from viddet_tpu.models import get_model
-    from viddet_tpu.models.yolo3 import forward_and_postprocess
 
     video = args.video
     if not video:
@@ -83,7 +82,7 @@ def main(argv=None):
     # uint8 frames + in-graph normalize (the production streaming path)
     from viddet_tpu.cli.common import make_predictor
 
-    infer = make_predictor(module, uint8_input=True)
+    infer = make_predictor(module)
 
     # warm the executable
     warm_shape = (

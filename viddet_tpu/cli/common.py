@@ -239,29 +239,27 @@ def build_model(network: str, dataset: str, classes=None, **kw):
     return yolo3_custom(classes, backbone=backbone, **kw)
 
 
-def make_predictor(module, uint8_input: bool = False):
+def make_predictor(module):
     """Jitted ``infer(variables, images) -> (ids, scores, boxes)`` for any
     registered model family (YOLOv3 / temporal YOLOv3 / SSD).
 
-    ``uint8_input=True`` accepts raw uint8 RGB frames and runs the ImageNet
-    normalization IN-GRAPH (the same ``(x/255 - mean)/std`` f32 expression
-    as ``data.transforms.normalize``, equal to the host path within 1 ulp —
-    XLA may rewrite /255 as a reciprocal multiply — and fused into the
-    input cast):
-    host->device transfers shrink 4x and the host skips a full-image float
-    pass per frame.  Pair with ``ValTransform(..., normalize=False)`` or
-    the native decoder's ``normalize=False`` mode.  Broadcasts over any
-    leading dims, so temporal (B, k, H, W, 3) clips work unchanged."""
+    Input handling is DTYPE-KEYED (train/loop._maybe_normalize): raw uint8
+    RGB frames are ImageNet-normalized in-graph — host->device transfers
+    shrink 4x and the host skips a full-image float pass per frame (pair
+    with ``ValTransform(..., normalize=False)`` or the native decoder's
+    ``normalize=False`` mode) — while float batches pass through untouched,
+    so mispairing a host-normalizing transform can never double-normalize.
+    Broadcasts over any leading dims, so temporal (B, k, H, W, 3) clips
+    work unchanged."""
     import jax
-    import jax.numpy as jnp
 
-    from viddet_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
     from viddet_tpu.models.faster_rcnn import (
         FasterRCNN,
         frcnn_forward_and_postprocess,
     )
     from viddet_tpu.models.ssd import SSD, ssd_forward_and_postprocess
     from viddet_tpu.models.yolo3 import forward_and_postprocess
+    from viddet_tpu.train.loop import _maybe_normalize
 
     if isinstance(module, SSD):
         fn = ssd_forward_and_postprocess
@@ -270,14 +268,9 @@ def make_predictor(module, uint8_input: bool = False):
     else:
         fn = forward_and_postprocess
 
-    mean = jnp.asarray(IMAGENET_MEAN)
-    std = jnp.asarray(IMAGENET_STD)
-
     @jax.jit
     def infer(variables, images):
-        if uint8_input:
-            images = (images.astype(jnp.float32) / 255.0 - mean) / std
-        return fn(module, variables, images)
+        return fn(module, variables, _maybe_normalize(images))
 
     return infer
 

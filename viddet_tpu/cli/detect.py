@@ -149,7 +149,7 @@ def main(argv=None):
 
     # uint8 frames host->device with in-graph normalization: 4x smaller
     # transfers and no per-frame host float pass (see make_predictor)
-    infer = make_predictor(module, uint8_input=True)
+    infer = make_predictor(module)
 
     size = (args.data_shape, args.data_shape)
     transform = ValTransform(size=size, letterbox_resize=True, normalize=False)

@@ -165,7 +165,7 @@ def serve_forever(args, logger) -> ThreadingHTTPServer:
         args.network, args.dataset, **quant_policy_kw(args)
     )
     variables = load_weights(module, args.weights, args.data_shape)
-    infer = make_predictor(module, uint8_input=True)
+    infer = make_predictor(module)
     transform = ValTransform(size=(args.data_shape, args.data_shape),
                              letterbox_resize=True, normalize=False)
 

@@ -342,7 +342,7 @@ class ValTransform:
     ``normalize=False`` returns the resized uint8 image instead — the
     device-normalize path for streaming/serving: frames cross host->device
     at 1/4 the bytes and the identical ``(x/255 - mean)/std`` runs fused
-    on-chip (``cli.common.make_predictor(uint8_input=True)``).
+    on-chip (``cli.common.make_predictor`` normalizes uint8 inputs).
     """
 
     size: Tuple[int, int]

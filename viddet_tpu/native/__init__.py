@@ -133,7 +133,7 @@ def decode_jpeg_batch(
     failed decodes have orig size 0).  ``normalize=True`` emits ImageNet-
     normalized float32; ``normalize=False`` emits raw uint8 RGB for
     device-side normalization (1/4 the host->device bytes — pair with
-    ``cli.common.make_predictor(uint8_input=True)``).
+    ``cli.common.make_predictor`` normalizes uint8 inputs in-graph).
     """
     lib = _load()
     if lib is None:

@@ -80,7 +80,7 @@ inline void sample_bilinear(const uint8_t* rgb, int sw, int sh, float sx,
 // host-preprocess path); kNorm=false writes rounded uint8 — the
 // device-normalize path, where frames cross PCIe at 1/4 the bytes and the
 // identical (x/255 - mean)/std runs fused on-chip (cli.common
-// make_predictor uint8_input).  affine out: [sx, sy, dx, dy] (box mapping
+// make_predictor, dtype-keyed).  affine out: [sx, sy, dx, dy] (box mapping
 // out = in * s + d).  pad_value is raw uint8 gray for letterbox borders.
 template <typename OutT, bool kNorm>
 void resize_impl(const uint8_t* rgb, int sw, int sh, OutT* out, int ow,
