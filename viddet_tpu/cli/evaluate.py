@@ -43,6 +43,10 @@ def parse_args(argv=None):
                         "dataset GT without running the model (the "
                         "reference evaluate.py's write/read detection "
                         "files — SURVEY.md §4.2)")
+    p.add_argument("--device-normalize", action="store_true",
+                   help="ship raw uint8 val batches and normalize in-graph "
+                        "(4x smaller host->device transfers; detections "
+                        "equal within 1 ulp of the host-normalized path)")
     p.add_argument("--temporal-k", type=int, default=1,
                    help="k-frame clip window for VID temporal models")
     p.add_argument("--temporal-stride", type=int, default=1)
@@ -64,10 +68,12 @@ def evaluate(module, variables, dataset, metric, args, logger):
         from viddet_tpu.data.clip_transforms import ClipValTransform
 
         transform = ClipValTransform(
-            size=size, letterbox_resize=args.letterbox, k=args.temporal_k
+            size=size, letterbox_resize=args.letterbox, k=args.temporal_k,
+            normalize=not args.device_normalize,
         )
     else:
-        transform = ValTransform(size=size, letterbox_resize=args.letterbox)
+        transform = ValTransform(size=size, letterbox_resize=args.letterbox,
+                                 normalize=not args.device_normalize)
     loader = DetectionLoader(
         dataset,
         transform,
@@ -83,7 +89,14 @@ def evaluate(module, variables, dataset, metric, args, logger):
         try:
             for _ in range(max(1, args.calib_batches)):
                 try:
-                    calib.append(jnp.asarray(next(it)[0]))
+                    images = next(it)[0]
+                    if images.dtype == np.uint8:
+                        # calibration applies the module directly (not the
+                        # dtype-keyed predictor) — normalize on host first
+                        from viddet_tpu.data.transforms import normalize
+
+                        images = normalize(images)
+                    calib.append(jnp.asarray(images))
                 except StopIteration:
                     break
         finally:
