@@ -120,3 +120,54 @@ def test_multiscale_buckets_consistent_within_batch():
         assert (images.shape[1], images.shape[2]) in [tuple(s) for s in sizes]
         shapes.add(images.shape[1:3])
     assert len(shapes) >= 2  # multiple buckets actually used
+
+
+def test_sharded_loaders_partition_the_epoch():
+    """Two shards of one loader must draw the SAME global shuffle, cover
+    disjoint sample sets, and step the same number of train batches (a
+    divergent count would deadlock multi-host collectives)."""
+    from viddet_tpu.data.loader import DetectionLoader
+    from viddet_tpu.data.synthetic import SyntheticDetection
+    from viddet_tpu.data.transforms import TrainTransform
+
+    ds = SyntheticDetection(num_images=21, size=64, num_classes=4)
+    tf = TrainTransform(size=(32, 32))
+
+    def seen(shard):
+        loader = DetectionLoader(
+            ds, tf, batch_size=2, train=True, num_workers=0, seed=5,
+            shard=shard,
+        )
+        idxs = []
+        for batch in loader:
+            idxs.extend(int(i) for i in batch[5])
+        return len(loader), idxs
+
+    n0, idx0 = seen((0, 2))
+    n1, idx1 = seen((1, 2))
+    assert n0 == n1 == (21 // 2) // 2
+    assert not (set(idx0) & set(idx1))  # disjoint
+    # same epoch seed on an unsharded loader covers a superset
+    n_all, idx_all = seen(None)
+    assert set(idx0) | set(idx1) <= set(idx_all)
+
+    # eval shards: strided split covers every sample exactly once
+    def eval_seen(shard):
+        loader = DetectionLoader(
+            ds, _EvalTF(), batch_size=4, train=False, num_workers=0,
+            shard=shard,
+        )
+        return [int(i) for b in loader for i in b[5]]
+
+    class _EvalTF:
+        size = (32, 32)
+
+        def __call__(self, image, label):
+            import numpy as _np
+
+            return _np.zeros((32, 32, 3), _np.float32), label, _np.array(
+                [1.0, 1.0, 0.0, 0.0], _np.float32
+            )
+
+    e0, e1 = eval_seen((0, 2)), eval_seen((1, 2))
+    assert sorted(e0 + e1) == list(range(21))

@@ -79,6 +79,12 @@ def main(argv=None):
         num_workers=args.num_workers,
         seed=args.seed,
         max_boxes=args.max_gt_boxes,
+        # multi-host: each process loads its disjoint strided shard of the
+        # identically-shuffled global order (no cross-host communication)
+        shard=(
+            (jax.process_index(), jax.process_count())
+            if jax.process_count() > 1 else None
+        ),
     )
     steps_per_epoch = max(len(loader), 1)
 

@@ -69,7 +69,12 @@ class DetectionLoader:
         num_workers: int = 4,
         seed: int = 0,
         max_boxes: int = MAX_GT_BOXES,
+        shard: Optional[Tuple[int, int]] = None,
     ):
+        if shard is not None:
+            index, count = shard
+            if not (0 <= index < count):
+                raise ValueError(f"shard index {index} not in [0, {count})")
         self.dataset = dataset
         self.transform = transform
         self.batch_size = batch_size
@@ -79,6 +84,7 @@ class DetectionLoader:
         self.num_workers = num_workers
         self.seed = seed
         self.max_boxes = max_boxes
+        self.shard = shard
         self._epoch = 0
         # GT boxes dropped by the static pad this epoch (reset per __iter__);
         # incremented under _count_lock from worker threads.
@@ -86,10 +92,20 @@ class DetectionLoader:
         self._count_lock = threading.Lock()
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._shard_len(len(self.dataset))
         if self.train:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def _shard_len(self, n: int) -> int:
+        """Per-shard sample count.  Training shards are truncated to the
+        COMMON floor so every host steps the same number of batches (a
+        divergent count would deadlock the collectives); eval shards keep
+        their strided slice (counts may differ by one)."""
+        if self.shard is None:
+            return n
+        index, count = self.shard
+        return n // count if self.train else len(range(index, n, count))
 
     def _sample(self, idx: int, rng: np.random.Generator, size):
         image, label = self.dataset[idx]
@@ -117,9 +133,17 @@ class DetectionLoader:
         self.dropped_boxes = 0
         n = len(self.dataset)
         order = np.arange(n)
+        # The master rng is shard-INDEPENDENT: every host draws the same
+        # permutation (and the same multi-scale size schedule below), then
+        # takes its own disjoint strided slice — SPMD multi-host data
+        # loading without any cross-host communication.
         master = np.random.default_rng((self.seed, epoch))
         if self.train:
             master.shuffle(order)
+        if self.shard is not None:
+            order = order[self.shard[0] :: self.shard[1]]
+            order = order[: self._shard_len(n)]
+        if self.train:
             order = order[: len(self) * self.batch_size]
 
         # Per-batch target size (train multi-scale).

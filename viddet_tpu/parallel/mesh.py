@@ -133,6 +133,17 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def put_batch(batch, mesh: Mesh):
-    """Device-put a pytree of host arrays with batch-dim sharding."""
+    """Device-put a pytree of host arrays with batch-dim sharding.
+
+    Single-host: a plain sharded device_put.  Multi-host (process_count
+    > 1): each process holds only ITS loader shard (DetectionLoader
+    ``shard=``), so the global array is assembled from per-process local
+    data — the arrays never leave their host.
+    """
     sharding = shard_batch(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
