@@ -150,7 +150,7 @@ def main(argv=None):
                 )
             if args.max_steps and total_steps >= args.max_steps:
                 logger.info("reached max-steps=%d, stopping", args.max_steps)
-                save_checkpoint(ckpt_dir, state, int(state.step))
+                save_checkpoint(ckpt_dir, state, int(state.step), block=True)
                 return
         if loader.dropped_boxes:
             logger.warning(
@@ -177,7 +177,7 @@ def main(argv=None):
                 )
         if args.save_interval and (epoch + 1) % args.save_interval == 0:
             save_checkpoint(ckpt_dir, state, int(state.step))
-    save_checkpoint(ckpt_dir, state, int(state.step))
+    save_checkpoint(ckpt_dir, state, int(state.step), block=True)
     save_weights_npz(f"{args.save_prefix}_final.npz", state.params, state.batch_stats)
 
 

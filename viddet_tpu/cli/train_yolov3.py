@@ -332,14 +332,14 @@ def main(argv=None):
                     for k, v in means.items():
                         tb_writer.add_scalar(f"loss/{k}", v, total_steps)
             if args.fault_inject and total_steps == args.fault_inject:
-                save_checkpoint(ckpt_dir, state, int(state.step))
+                save_checkpoint(ckpt_dir, state, int(state.step), block=True)
                 raise RuntimeError(
                     f"fault injected at step {total_steps} (checkpoint saved; "
                     f"resume with --resume {ckpt_dir})"
                 )
             if args.max_steps and total_steps >= args.max_steps:
                 logger.info("reached max-steps=%d, stopping", args.max_steps)
-                save_checkpoint(ckpt_dir, state, int(state.step))
+                save_checkpoint(ckpt_dir, state, int(state.step), block=True)
                 return
         logger.info("[Epoch %d] done in %.1fs", epoch, time.time() - tic)
         if train_loader.dropped_boxes:
@@ -361,7 +361,7 @@ def main(argv=None):
                 )
         if args.save_interval and (epoch + 1) % args.save_interval == 0:
             save_checkpoint(ckpt_dir, state, int(state.step))
-    save_checkpoint(ckpt_dir, state, int(state.step))
+    save_checkpoint(ckpt_dir, state, int(state.step), block=True)
     save_weights_npz(f"{args.save_prefix}_final.npz", state.params, state.batch_stats)
 
 

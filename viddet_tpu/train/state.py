@@ -138,11 +138,34 @@ def load_weights_npz(path: str):
 # ---------------------------------------------------------------------------
 
 
-def save_checkpoint(ckpt_dir: str, state: TrainState, step: int) -> None:
-    import orbax.checkpoint as ocp
+_CKPTR = None
 
+
+def _checkpointer():
+    """Process-wide Orbax checkpointer (its background write thread makes
+    saves async; constructing one per save would serialize on setup)."""
+    global _CKPTR
+    if _CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def save_checkpoint(
+    ckpt_dir: str, state: TrainState, step: int, block: bool = False
+) -> None:
+    """Save the full TrainState.  ASYNC by default: the device arrays are
+    fetched to host here (so the caller may immediately mutate/donate the
+    state) and the directory write runs on Orbax's background thread,
+    hidden behind subsequent train steps.  The previous save is awaited
+    first, bounding in-flight writes to one.  ``block=True`` waits for the
+    write to land — the end-of-training and fault-injection paths, where
+    the process is about to exit.  Saves are atomic either way (Orbax
+    renames the finalized directory into place)."""
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
-    ckptr = ocp.StandardCheckpointer()
     ckptr.save(
         path,
         {
@@ -153,10 +176,14 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int) -> None:
         },
         force=True,
     )
-    ckptr.wait_until_finished()
+    if block:
+        ckptr.wait_until_finished()
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if _CKPTR is not None:
+        # an async save may still be finalizing its directory rename
+        _CKPTR.wait_until_finished()
     if not os.path.isdir(ckpt_dir):
         return None
     steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
@@ -166,6 +193,8 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 def restore_checkpoint(path: str, state: TrainState) -> TrainState:
     import orbax.checkpoint as ocp
 
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()  # in-process save->restore sequencing
     ckptr = ocp.StandardCheckpointer()
     target = {
         "step": jax.device_get(state.step),
