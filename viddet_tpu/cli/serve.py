@@ -120,7 +120,7 @@ def make_handler(service: DetectionService, class_names, default_thresh: float,
             self._reply(200, {
                 "status": "ok",
                 "uptime_s": round(time.time() - t_start, 1),
-                "requests_served": service.served,
+                **service.stats(),
                 **info,
             })
 

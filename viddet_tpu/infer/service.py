@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Callable, List, Optional, Tuple
 
 import jax.numpy as jnp
@@ -79,6 +80,12 @@ class DetectionService:
         self._q: "queue.Queue" = queue.Queue(maxsize=4 * self._batch_size)
         self._stop = threading.Event()
         self._served = 0
+        # rolling observability window (collections.deque is thread-safe
+        # for append; read via stats())
+        from collections import deque
+
+        self._lat_ms = deque(maxlen=128)   # dispatch->settled, per batch
+        self._fill = deque(maxlen=128)     # requests per dispatched batch
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -123,6 +130,21 @@ class DetectionService:
     @property
     def served(self) -> int:
         return self._served
+
+    def stats(self) -> dict:
+        """Rolling service metrics over the last <=128 dispatched batches:
+        dispatch-to-settled batch latency percentiles and mean batch
+        occupancy (how full the continuous-batcher runs)."""
+        import numpy as _np
+
+        lat = list(self._lat_ms)
+        fill = list(self._fill)
+        out = {"requests_served": self._served, "batches": len(lat)}
+        if lat:
+            out["batch_latency_ms_p50"] = round(float(_np.percentile(lat, 50)), 1)
+            out["batch_latency_ms_p95"] = round(float(_np.percentile(lat, 95)), 1)
+            out["mean_batch_fill"] = round(float(_np.mean(fill)), 2)
+        return out
 
     def close(self):
         self._stop.set()
@@ -220,7 +242,9 @@ class DetectionService:
             items = self._collect(block=not pending)
             if items:
                 try:
-                    pending.append((items, self._dispatch(items)))
+                    pending.append(
+                        (items, self._dispatch(items), time.perf_counter())
+                    )
                 except BaseException as exc:  # noqa: BLE001 — forwarded
                     for slot, _x, _a in items:
                         slot.error = exc
@@ -229,7 +253,10 @@ class DetectionService:
             # drain: immediately when the queue went idle (latency),
             # otherwise only past the in-flight depth (throughput)
             while pending and (len(pending) >= self._max_in_flight or not items):
-                self._settle(*pending.pop(0))
+                p_items, p_result, t0 = pending.pop(0)
+                self._settle(p_items, p_result)
+                self._lat_ms.append((time.perf_counter() - t0) * 1e3)
+                self._fill.append(len(p_items))
         # shutdown: fail callers still enqueued, settle batches in flight
         while True:
             try:
@@ -239,5 +266,5 @@ class DetectionService:
             if item is not None:
                 item[0].error = RuntimeError("service closed")
                 item[0].done.set()
-        for items, result in pending:
+        for items, result, _t0 in pending:
             self._settle(items, result)
