@@ -37,6 +37,9 @@ BASELINE_TARGET_FPS = 2000.0  # BASELINE.json north star, v5e
 # Tunable via env for sweeps (tools/bench_sweep.py); defaults are the
 # recorded configuration.
 BATCH = int(os.environ.get("VIDDET_BENCH_BATCH", "128"))
+# input resolution (multiple of 32); 320/416/608 mirror the YOLOv3 paper's
+# latency table (BASELINE.md) — the headline metric stays 416
+SHAPE = int(os.environ.get("VIDDET_BENCH_SHAPE", "416"))
 TOPK = int(os.environ.get("VIDDET_BENCH_TOPK", "400"))
 POST_NMS = int(os.environ.get("VIDDET_BENCH_POST_NMS", "100"))
 WARMUP = 3
@@ -106,7 +109,7 @@ def main():
         module, _ = get_model("yolo3_darknet53_coco", policy=INT8_POLICY)
     else:
         module, _ = get_model("yolo3_darknet53_coco")
-    images = jnp.zeros((BATCH, 416, 416, 3), jnp.float32)
+    images = jnp.zeros((BATCH, SHAPE, SHAPE, 3), jnp.float32)
     variables = module.init(jax.random.key(0), images, train=False)
     nms = NMSConfig(topk=TOPK, post_nms=POST_NMS)
 
@@ -117,7 +120,7 @@ def main():
     import numpy as np
 
     rng = jax.random.key(1)
-    frames = jax.random.uniform(rng, (BATCH, 416, 416, 3)).astype(jnp.bfloat16)
+    frames = jax.random.uniform(rng, (BATCH, SHAPE, SHAPE, 3)).astype(jnp.bfloat16)
 
     if quant_mode:
         from viddet_tpu import quant
@@ -150,7 +153,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "frames_per_sec_per_chip_yolov3_416_decode_to_boxes",
+                "metric": f"frames_per_sec_per_chip_yolov3_{SHAPE}_decode_to_boxes",
                 "value": round(fps, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_TARGET_FPS, 4),

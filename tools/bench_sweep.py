@@ -24,11 +24,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_one(batch, topk, vmem_kib, timeout=900):
+def run_one(batch, topk, vmem_kib, shape=416, timeout=900):
     env = dict(
         os.environ,
         VIDDET_BENCH_BATCH=str(batch),
         VIDDET_BENCH_TOPK=str(topk),
+        VIDDET_BENCH_SHAPE=str(shape),
         LIBTPU_INIT_ARGS=f"--xla_tpu_scoped_vmem_limit_kib={vmem_kib}",
     )
     try:
@@ -47,6 +48,7 @@ def run_one(batch, topk, vmem_kib, timeout=900):
     rec["vmem_kib"] = vmem_kib
     rec.setdefault("batch", batch)
     rec.setdefault("topk", topk)
+    rec.setdefault("shape", shape)
     return rec
 
 
@@ -57,7 +59,27 @@ def main(argv=None):
     p.add_argument("--batches", default="64,128,256")
     p.add_argument("--topks", default="256,400")
     p.add_argument("--vmem", default="65536,98304")
+    p.add_argument("--shapes", default="",
+                   help="comma list, e.g. 320,416,608: sweep input "
+                        "resolution at batch 128 instead of the "
+                        "batch/topk/vmem grid — mirrors the YOLOv3 "
+                        "paper's latency table (BASELINE.md)")
     args = p.parse_args(argv)
+
+    if args.shapes:
+        results = []
+        for sh in (int(x) for x in args.shapes.split(",")):
+            rec = run_one(128, 400, 65536, shape=sh)
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+        ok = [r for r in results if "value" in r]
+        print("\n# shape table (batch 128)")
+        for r in ok:
+            lat = r.get("batch_latency_ms")
+            per_frame = (lat / r["batch"]) if lat else None
+            print(f"{r['shape']:>4}px  {r['value']:8.1f} fps"
+                  + (f"  {per_frame:.2f} ms/frame amortized" if per_frame else ""))
+        return
 
     if args.quick:
         grid = [(128, 400, 65536), (256, 400, 65536), (128, 256, 65536)]
