@@ -211,17 +211,37 @@ def main(argv=None):
         return
 
     logger.info("detecting on %d image(s)", len(files))
+    # All-JPEG chunks go through the C++ threaded batch decoder (fused
+    # decode -> DCT prescale -> letterbox, GIL released, uint8 out); other
+    # formats and missing-native fall back to the per-file cv2 path.
+    try:
+        from viddet_tpu import native as _native
+
+        use_native = _native.available()
+    except Exception:
+        use_native = False
     t0 = time.time()
     num_done = 0
     for start in range(0, len(files), args.batch_size):
         chunk = files[start : start + args.batch_size]
-        frames, affines = [], []
-        for f in chunk:
-            img = imread_rgb(f)
-            x, _, affine = transform(img)
-            frames.append(x)
-            affines.append(affine)
-        batch = np.stack(frames)
+        if use_native and all(
+            str(f).lower().endswith((".jpg", ".jpeg")) for f in chunk
+        ):
+            batch, aff_np, orig_sizes = _native.decode_jpeg_batch(
+                chunk, transform.size, letterbox=True, normalize=False
+            )
+            if (orig_sizes == 0).any():
+                bad = [f for f, o in zip(chunk, orig_sizes) if o[0] == 0]
+                raise SystemExit(f"undecodable image(s): {bad}")
+            affines = list(aff_np)
+        else:
+            frames, affines = [], []
+            for f in chunk:
+                img = imread_rgb(f)
+                x, _, affine = transform(img)
+                frames.append(x)
+                affines.append(affine)
+            batch = np.stack(frames)
         # pad to full batch so only one XLA shape compiles
         if len(chunk) < args.batch_size:
             batch = np.concatenate(
