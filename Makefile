@@ -17,6 +17,8 @@ bench:
 
 # full on-chip validation ladder (run when the TPU tunnel is up):
 # parity gates first, compact-kernel timing, then the headline bench.
+# persistent compile cache across the many bench/parity invocations
+chipcheck: export VIDDET_JAX_CACHE ?= /tmp/viddet_xla_cache
 chipcheck:
 	python tools/tpu_parity_check.py
 	python tools/trace_tail.py --group compact
@@ -33,6 +35,7 @@ chipcheck:
 
 # full perf record, one command (run after chipcheck when the tunnel is up);
 # every tool prints one JSON line — paste into BASELINE.md
+benchall: export VIDDET_JAX_CACHE ?= /tmp/viddet_xla_cache
 benchall:
 	python bench.py
 	python tools/ssd_bench.py

@@ -33,6 +33,14 @@ if "--platform" in sys.argv:
         "jax_platforms", sys.argv[sys.argv.index("--platform") + 1]
     )
 
+# Persistent XLA compile cache (same env the CLIs honor): chipcheck /
+# benchall run bench.py several times with different trace-time knobs —
+# cached configs skip the ~20-40s model compile on each repeat.
+if os.environ.get("VIDDET_JAX_CACHE"):
+    from viddet_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache(os.environ["VIDDET_JAX_CACHE"])
+
 BASELINE_TARGET_FPS = 2000.0  # BASELINE.json north star, v5e
 # Tunable via env for sweeps (tools/bench_sweep.py); defaults are the
 # recorded configuration.
