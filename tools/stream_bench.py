@@ -49,9 +49,14 @@ def main(argv=None):
                         "also emulates a multi-core decode host)")
     p.add_argument("--temporal-k", type=int, default=1,
                    help="k-frame clip assembly (temporal streaming bench)")
+    p.add_argument("--platform", default="auto", choices=("auto", "cpu", "tpu"),
+                   help="pin the jax platform (cpu smoke-runs the bench)")
     args = p.parse_args(argv)
 
     import jax
+
+    if args.platform != "auto":
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import numpy as np
 
@@ -110,11 +115,18 @@ def main(argv=None):
         ):
             n += 1
         dt = time.perf_counter() - t0
-        print(
-            f"end-to-end ({args.streams} streams, k={k}, {kind}, "
-            f"host_cores={os.cpu_count()}): "
-            f"{n} frames in {dt:.2f}s = {n/dt:.1f} fps aggregate"
-        )
+        import json as _json
+
+        print(_json.dumps({
+            "metric": "stream_e2e_fps_aggregate",
+            "value": round(n / dt, 1),
+            "unit": "frames/s",
+            "streams": args.streams,
+            "temporal_k": k,
+            "decode": kind,
+            "host_cores": os.cpu_count(),
+            "frames": n,
+        }))
         return
     if native.available():
         source = NativeFrameSource(video, size, normalize=False)
@@ -129,10 +141,16 @@ def main(argv=None):
     for _ in stream_detect(iter(source), infer, variables, args.batch, size):
         n += 1
     dt = time.perf_counter() - t0
-    print(
-        f"end-to-end ({kind}, host_cores={os.cpu_count()}): "
-        f"{n} frames in {dt:.2f}s = {n/dt:.1f} fps"
-    )
+    import json as _json
+
+    print(_json.dumps({
+        "metric": "stream_e2e_fps",
+        "value": round(n / dt, 1),
+        "unit": "frames/s",
+        "decode": kind,
+        "host_cores": os.cpu_count(),
+        "frames": n,
+    }))
 
     # decode-only reference (host ceiling)
     if native.available():
@@ -140,7 +158,11 @@ def main(argv=None):
         t0 = time.perf_counter()
         n = sum(1 for _ in source)
         dt = time.perf_counter() - t0
-        print(f"decode-only ceiling: {n/dt:.1f} fps")
+        print(_json.dumps({
+            "metric": "stream_decode_only_fps",
+            "value": round(n / dt, 1),
+            "unit": "frames/s",
+        }))
 
 
 if __name__ == "__main__":
