@@ -183,11 +183,17 @@ class PackedDetection(DetectionDataset):
         return len(self._entries)
 
     def __del__(self):
-        for fd in getattr(self, "_fds", {}).values():
-            try:
-                os.close(fd)
-            except OSError:
-                pass
+        # At interpreter shutdown module globals (os, even TypeError) may
+        # already be torn down — swallow everything; fds die with the
+        # process anyway.
+        try:
+            for fd in getattr(self, "_fds", {}).values():
+                try:
+                    os.close(fd)
+                except OSError:
+                    pass
+        except Exception:
+            pass
 
     def _read(self, idx: int):
         shard, offset, size = self._entries[idx]
