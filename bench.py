@@ -86,7 +86,7 @@ def _init_backend_with_retry():
             print(
                 json.dumps(
                     {
-                        "metric": "frames_per_sec_per_chip_yolov3_416_decode_to_boxes",
+                        "metric": f"frames_per_sec_per_chip_yolov3_{SHAPE}_decode_to_boxes",
                         "error": f"backend init hung >{INIT_TIMEOUT_S:.0f}s "
                         "(TPU tunnel unreachable)",
                     }
@@ -164,7 +164,10 @@ def main():
                 "metric": f"frames_per_sec_per_chip_yolov3_{SHAPE}_decode_to_boxes",
                 "value": round(fps, 1),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_TARGET_FPS, 4),
+                # the 2000 fps north star is defined for the 416 headline
+                # config; other sweep shapes have no baseline to compare to
+                **({"vs_baseline": round(fps / BASELINE_TARGET_FPS, 4)}
+                   if SHAPE == 416 else {}),
                 "batch": BATCH,
                 "topk": TOPK,
                 "post_nms": POST_NMS,
@@ -183,7 +186,7 @@ if __name__ == "__main__":
         print(
             json.dumps(
                 {
-                    "metric": "frames_per_sec_per_chip_yolov3_416_decode_to_boxes",
+                    "metric": f"frames_per_sec_per_chip_yolov3_{SHAPE}_decode_to_boxes",
                     "error": f"{type(exc).__name__}: {exc}"[:500],
                 }
             )

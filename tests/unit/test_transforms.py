@@ -170,3 +170,42 @@ def test_color_distort_lut_matches_float_chain():
         out = random_color_distort(base, np.random.default_rng(seed))
         want = oracle(base, np.random.default_rng(seed))
         np.testing.assert_array_equal(out, want)
+
+
+def test_exif_orientation_sniffer(tmp_path):
+    """Header-scan EXIF orientation: plain JPEGs report 1; a spliced APP1
+    Exif segment with Orientation=6 is detected (both byte orders)."""
+    import cv2
+
+    from viddet_tpu.utils.image import exif_orientation
+
+    plain = str(tmp_path / "plain.jpg")
+    cv2.imwrite(plain, np.zeros((8, 8, 3), np.uint8))
+    assert exif_orientation(plain) == 1
+
+    def tiff(endian):
+        import struct
+
+        e = "<" if endian == b"II" else ">"
+        entry = (
+            struct.pack(e + "H", 0x0112)   # Orientation
+            + struct.pack(e + "H", 3)      # SHORT
+            + struct.pack(e + "I", 1)      # count
+            + struct.pack(e + "H", 6) + b"\x00\x00"  # value, padded
+        )
+        return (
+            endian + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+            + struct.pack(e + "H", 1) + entry + struct.pack(e + "I", 0)
+        )
+
+    with open(plain, "rb") as f:
+        raw = f.read()
+    for endian in (b"II", b"MM"):
+        body = b"Exif\x00\x00" + tiff(endian)
+        app1 = b"\xff\xe1" + (len(body) + 2).to_bytes(2, "big") + body
+        rotated = str(tmp_path / f"rot_{endian.decode()}.jpg")
+        with open(rotated, "wb") as f:
+            f.write(raw[:2] + app1 + raw[2:])
+        assert exif_orientation(rotated) == 6
+        # sanity: cv2 still decodes the spliced file
+        assert cv2.imread(rotated) is not None

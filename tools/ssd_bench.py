@@ -23,6 +23,9 @@ if "LIBTPU_INIT_ARGS" not in os.environ:
 
 
 def main(argv=None):
+    from viddet_tpu.cli.common import enable_cache_from_env
+
+    enable_cache_from_env()
     p = argparse.ArgumentParser()
     p.add_argument("--network", default="ssd_512_resnet50_coco")
     p.add_argument("--batch", type=int, default=128)

@@ -177,6 +177,9 @@ def check_roi_align():
 
 
 def main():
+    from viddet_tpu.cli.common import enable_cache_from_env
+
+    enable_cache_from_env()
     import jax
 
     print(f"platform: {jax.default_backend()}, devices: {jax.devices()}")

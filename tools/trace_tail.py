@@ -264,6 +264,9 @@ def parse_trace(outdir):
 
 
 def main(argv=None):
+    from viddet_tpu.cli.common import enable_cache_from_env
+
+    enable_cache_from_env()
     p = argparse.ArgumentParser()
     p.add_argument("--group", default="all",
                    choices=("all", "scan", "finalize", "glue", "compact",

@@ -26,6 +26,9 @@ if "LIBTPU_INIT_ARGS" not in os.environ:
 
 
 def main(argv=None):
+    from viddet_tpu.cli.common import enable_cache_from_env
+
+    enable_cache_from_env()
     p = argparse.ArgumentParser()
     p.add_argument("--family", default="yolo", choices=("yolo", "ssd", "frcnn"))
     p.add_argument("--network", default="",

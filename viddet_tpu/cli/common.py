@@ -94,6 +94,14 @@ def enable_compilation_cache(cache_dir: str) -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
+def enable_cache_from_env() -> None:
+    """Honor ``VIDDET_JAX_CACHE`` in non-argparse tools (the CLIs pick it
+    up via ``parse_with_config``); no-op when unset."""
+    cache = os.environ.get("VIDDET_JAX_CACHE")
+    if cache:
+        enable_compilation_cache(cache)
+
+
 def setup_logging(save_prefix: Optional[str] = None) -> logging.Logger:
     """Console + ``<save_prefix>_train.log`` logging, reference format."""
     logger = logging.getLogger("viddet_tpu")

@@ -25,7 +25,7 @@ import numpy as np
 from viddet_tpu.cli.common import build_model, load_weights, setup_logging
 from viddet_tpu.data.base import imread_rgb
 from viddet_tpu.data.transforms import ValTransform, invert_affine_to_boxes
-from viddet_tpu.utils.image import draw_detections
+from viddet_tpu.utils.image import draw_detections, exif_orientation
 
 
 def parse_args(argv=None):
@@ -225,7 +225,11 @@ def main(argv=None):
     for start in range(0, len(files), args.batch_size):
         chunk = files[start : start + args.batch_size]
         if use_native and all(
-            str(f).lower().endswith((".jpg", ".jpeg")) for f in chunk
+            str(f).lower().endswith((".jpg", ".jpeg"))
+            # EXIF-rotated files go through cv2, which auto-applies the
+            # orientation; the C++ decoder reads the raw raster
+            and exif_orientation(f) == 1
+            for f in chunk
         ):
             batch, aff_np, orig_sizes = _native.decode_jpeg_batch(
                 chunk, transform.size, letterbox=True, normalize=False

@@ -99,8 +99,6 @@ class DetectionService:
         TimeoutError both when the queue is saturated (backpressure) and
         when the result misses the deadline; ``timeout`` bounds the TOTAL
         call, not each phase."""
-        import time
-
         if self._stop.is_set():
             raise RuntimeError("DetectionService is closed")
         x, _, affine = self._transform(rgb)
@@ -135,15 +133,13 @@ class DetectionService:
         """Rolling service metrics over the last <=128 dispatched batches:
         dispatch-to-settled batch latency percentiles and mean batch
         occupancy (how full the continuous-batcher runs)."""
-        import numpy as _np
-
         lat = list(self._lat_ms)
         fill = list(self._fill)
         out = {"requests_served": self._served, "batches": len(lat)}
-        if lat:
-            out["batch_latency_ms_p50"] = round(float(_np.percentile(lat, 50)), 1)
-            out["batch_latency_ms_p95"] = round(float(_np.percentile(lat, 95)), 1)
-            out["mean_batch_fill"] = round(float(_np.mean(fill)), 2)
+        if lat and fill:
+            out["batch_latency_ms_p50"] = round(float(np.percentile(lat, 50)), 1)
+            out["batch_latency_ms_p95"] = round(float(np.percentile(lat, 95)), 1)
+            out["mean_batch_fill"] = round(float(np.mean(fill)), 2)
         return out
 
     def close(self):
@@ -255,8 +251,10 @@ class DetectionService:
             while pending and (len(pending) >= self._max_in_flight or not items):
                 p_items, p_result, t0 = pending.pop(0)
                 self._settle(p_items, p_result)
-                self._lat_ms.append((time.perf_counter() - t0) * 1e3)
+                # fill first: stats() guards on lat, so a reader between
+                # the two appends must never see lat ahead of fill
                 self._fill.append(len(p_items))
+                self._lat_ms.append((time.perf_counter() - t0) * 1e3)
         # shutdown: fail callers still enqueued, settle batches in flight
         while True:
             try:

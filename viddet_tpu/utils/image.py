@@ -51,3 +51,57 @@ def draw_detections(
             (255, 255, 255), 1, cv2.LINE_AA,
         )
     return out
+
+
+def exif_orientation(path: str, max_scan: int = 65536) -> int:
+    """EXIF Orientation tag (1..8) of a JPEG file, or 1 when absent.
+
+    The C++ batch decoder (native/decode.cpp) decodes the raw raster with
+    no EXIF handling, while cv2.imread auto-applies orientation; callers
+    use this to keep EXIF-rotated files OFF the native path so detections,
+    det txts, and drawings all live in the same (rotated) frame.  Pure
+    header scan — no decode, one bounded read.
+    """
+    import struct as _struct
+
+    try:
+        with open(path, "rb") as f:
+            head = f.read(max_scan)
+    except OSError:
+        return 1
+    if not head.startswith(b"\xff\xd8"):
+        return 1
+    i = 2
+    while i + 4 <= len(head):
+        if head[i] != 0xFF:
+            break
+        marker = head[i + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            i += 2  # standalone markers carry no length
+            continue
+        seg_len = int.from_bytes(head[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            break
+        if marker == 0xE1 and head[i + 4 : i + 10] == b"Exif\x00\x00":
+            tiff = head[i + 10 : i + 2 + seg_len]
+            if len(tiff) < 8 or tiff[:2] not in (b"II", b"MM"):
+                return 1
+            endian = "<" if tiff[:2] == b"II" else ">"
+            try:
+                ifd = _struct.unpack_from(endian + "I", tiff, 4)[0]
+                count = _struct.unpack_from(endian + "H", tiff, ifd)[0]
+                for k in range(count):
+                    off = ifd + 2 + k * 12
+                    tag = _struct.unpack_from(endian + "H", tiff, off)[0]
+                    if tag == 0x0112:
+                        val = _struct.unpack_from(
+                            endian + "H", tiff, off + 8
+                        )[0]
+                        return val if 1 <= val <= 8 else 1
+            except _struct.error:
+                return 1
+            return 1
+        if marker == 0xDA:  # start of scan: no EXIF past image data
+            break
+        i += 2 + seg_len
+    return 1
