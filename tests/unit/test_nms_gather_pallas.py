@@ -266,3 +266,31 @@ def test_gather_topm_rank_variant_bit_exact():
     )
     for r, o in zip(ref, out):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+
+
+def test_gather_decode_pairs_production_width():
+    """Bit-exactness at the PRODUCTION lane configuration (C=80 ->
+    na*(5+C) = 255 lanes, m=9/hot_j hierarchy active) — the other tests
+    use narrow C; lane padding and the m-step hierarchy must hold at the
+    real width too."""
+    rng = np.random.default_rng(41)
+    b, img, c, k, m = 2, 64, 80, 40, 9
+    j = min((k - 1) // m + 1, k)
+    cells, meta, consts, flat = _make_scales(rng, b, img, c)
+    n = consts.shape[0]
+    a_idx = jnp.asarray(rng.integers(0, n, size=(b, k)).astype(np.int32))
+
+    boxes, v_m, i_m, hot_flat, hot_idx = gather_decode_pairs(
+        tuple(cells), a_idx, meta, extract_m=m, hot_j=j, interpret=True
+    )
+
+    raw = jnp.concatenate(flat, axis=1)
+    g = jnp.take_along_axis(raw, a_idx[..., None], axis=1).astype(jnp.float32)
+    pairs = jax.nn.sigmoid(g[..., 4:5]) * jax.nn.sigmoid(g[..., 5:])
+    want_v, want_i = jax.vmap(
+        lambda p: jax.lax.top_k(p, m)
+    )(pairs)
+    # v_m must match lax.top_k values exactly (stable-order ties included
+    # for random f32 inputs, ties are measure-zero)
+    np.testing.assert_array_equal(np.asarray(v_m), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(i_m), np.asarray(want_i))
