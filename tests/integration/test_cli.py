@@ -286,3 +286,22 @@ def test_visualise_cli_side_by_side(tmp_path):
     img = cv2.imread(os.path.join(out, "000000_vis.jpg"))
     assert img is not None and img.shape[1] == 2 * base.shape[1]
     assert img.shape[0] == base.shape[0]
+
+
+def test_extract_frames_cli(tmp_path):
+    """Pre-extraction CLI: video -> numbered frame jpgs, --every honored."""
+    import cv2
+
+    video = str(tmp_path / "v.mp4")
+    vw = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    for _ in range(10):
+        vw.write(np.zeros((48, 64, 3), np.uint8))
+    vw.release()
+
+    out = str(tmp_path / "frames")
+    from viddet_tpu.cli.extract_frames import main
+
+    main(["--input", video, "--output", out, "--every", "2"])
+    files = sorted(os.listdir(out))
+    assert len(files) == 5
+    assert files[0] == "00000000.jpg"
