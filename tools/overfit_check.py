@@ -80,7 +80,7 @@ def main(argv=None):
     )
 
     if args.family == "yolo3":
-        from viddet_tpu.models.yolo3 import NMSConfig, YOLOv3, forward_and_postprocess
+        from viddet_tpu.models.yolo3 import YOLOv3, forward_and_postprocess
         from viddet_tpu.train.loop import make_train_step
 
         module = YOLOv3(num_classes=nc, backbone="darknet53")

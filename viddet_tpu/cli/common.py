@@ -11,10 +11,9 @@ import argparse
 import logging
 import os
 import sys
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
-import numpy as np
 
 
 def parse_with_config(parser: argparse.ArgumentParser, argv=None):

@@ -229,8 +229,6 @@ def main(argv=None):
     )
     logger.info("mesh: %d device(s); %d steps/epoch", mesh.devices.size, steps_per_epoch)
 
-    from viddet_tpu.models.yolo3 import YOLOv3
-
     anchors, strides, _ = module._config()
     train_step = make_train_step(
         module,

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 import xml.etree.ElementTree as ET
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

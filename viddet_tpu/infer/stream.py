@@ -24,7 +24,6 @@ import threading
 import time
 from typing import Callable, Iterator, List, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

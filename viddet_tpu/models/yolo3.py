@@ -34,7 +34,6 @@ import jax.numpy as jnp
 from viddet_tpu.core.precision import Policy, DEFAULT_POLICY
 from viddet_tpu.models.common import ConvBNLeaky, upsample2x_nearest
 from viddet_tpu.models.darknet import Darknet53, DarknetTiny
-from viddet_tpu.ops.nms import multiclass_nms
 
 # Default COCO anchor boxes (input-pixel units), deepest scale first.
 ANCHORS_DARKNET53: Tuple[Tuple[Tuple[float, float], ...], ...] = (

@@ -15,7 +15,7 @@ interpolation at each point, average within the bin, half-pixel alignment
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
