@@ -108,10 +108,21 @@ def evaluate(module, variables, dataset, metric, args, logger):
     # needs the batch divisible by the device count, else fall back to the
     # default single-device placement.
     mesh = make_mesh()
-    sharded = mesh.devices.size > 1 and args.batch_size % mesh.devices.size == 0
+    # Multi-host eval is NOT wired: the loader here is unsharded and the
+    # metric aggregation fetches full arrays (np.asarray of a non-fully-
+    # addressable array would fail; an unsharded loader would double-count
+    # every image process_count times).  Shard only within one process.
+    sharded = (
+        jax.process_count() == 1
+        and mesh.devices.size > 1
+        and args.batch_size % mesh.devices.size == 0
+    )
     if sharded:
         variables = jax.device_put(variables, replicate(mesh))
         logger.info("eval sharded over %d device(s)", mesh.devices.size)
+    elif jax.process_count() > 1:
+        logger.info("multi-host run: eval executes unsharded on process-local "
+                    "devices (multi-host eval sharding not implemented)")
     elif mesh.devices.size > 1:
         logger.info(
             "eval on 1 device (batch %d not divisible by %d devices)",

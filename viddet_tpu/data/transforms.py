@@ -209,6 +209,14 @@ def random_crop_with_constraints(
     """SSD-style random crop: sampled crops must reach a min IoU with GT.
 
     Boxes whose centers fall outside the crop are dropped (set to -1).
+
+    RNG-stream note: the vectorized trial scan draws all ``max_trial``
+    scale/aspect values (and cy/cx) per constraint up front, where the
+    pre-vectorization loop stopped at the first passing trial and skipped
+    cy/cx for full-coverage crops.  The sampling *distribution* is
+    unchanged, but a fixed seed no longer reproduces pre-change
+    augmentation sequences (unlike random_color_distort, whose LUT
+    rewrite kept draw order).
     """
     h, w = image.shape[:2]
     valid = boxes[:, 4] >= 0 if boxes.shape[1] > 4 else (boxes[:, :4] >= 0).all(1)

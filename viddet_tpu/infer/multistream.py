@@ -240,6 +240,13 @@ def stream_detect_multi(
                 batch_items = []
                 if len(pending) >= max_in_flight:
                     yield from drain()
+            elif item is None and pending:
+                # queue went idle with nothing to submit: flush computed
+                # results now instead of withholding them until the next
+                # submit (a stalled live source would otherwise delay
+                # already-finished detections indefinitely — mirrors
+                # DetectionService._run's idle drain)
+                yield from drain()
         while pending:
             yield from drain()
     finally:

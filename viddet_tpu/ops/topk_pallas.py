@@ -213,11 +213,11 @@ def _select_kernel(g: int, r: int, k: int):
     return kernel
 
 
-def _group_size(b: int, k: int) -> int:
+def _group_size(b: int, k: int, r: int) -> int:
     """Images per grid step: largest divisor of B in {8,4,2,1} whose
     one-hot searchsorted matrix (G*k x G*R) stays comfortably in VMEM."""
     for g in (8, 4, 2, 1):
-        if b % g == 0 and g * k * g * 96 * 4 <= 16 * 1024 * 1024:
+        if b % g == 0 and g * k * g * r * 4 <= 16 * 1024 * 1024:
             return g
     return 1
 
@@ -247,7 +247,7 @@ def topk_indices_pallas(
     pad = r * _LANES - n
     if pad:
         scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=-1.0)
-    g = _group_size(b, k)
+    g = _group_size(b, k, r)
     tiled = scores.reshape(b, r, _LANES)
     out = pl.pallas_call(
         _select_kernel(g, r, k),

@@ -15,6 +15,7 @@ arrays in this repo's native layouts (conv kernels HWIO).
 from __future__ import annotations
 
 import os
+import re
 from typing import Any, Callable, Dict, Optional, Sequence
 
 import flax.struct
@@ -186,7 +187,12 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
         _CKPTR.wait_until_finished()
     if not os.path.isdir(ckpt_dir):
         return None
-    steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    # Match finalized directories only: an async save that died mid-write
+    # leaves an Orbax temp dir (step_XXXXXXXX.orbax-checkpoint-tmp-*) that
+    # startswith("step_") would pick up and hand to restore.
+    steps = sorted(
+        d for d in os.listdir(ckpt_dir) if re.fullmatch(r"step_\d{8}", d)
+    )
     return os.path.join(ckpt_dir, steps[-1]) if steps else None
 
 
