@@ -27,10 +27,12 @@ chipcheck:
 	VIDDET_COMPACT_KERNEL=1 python tools/tpu_parity_check.py
 	VIDDET_SCORE_KERNEL=masked python tools/tpu_parity_check.py
 	VIDDET_TOPM_KERNEL=rank python tools/tpu_parity_check.py
+	VIDDET_PAIR_TOPK=det python tools/tpu_parity_check.py
 	python bench.py
 	VIDDET_COMPACT_KERNEL=1 python bench.py
 	VIDDET_SCORE_KERNEL=masked python bench.py
 	VIDDET_TOPM_KERNEL=rank python bench.py
+	VIDDET_PAIR_TOPK=det python bench.py
 	VIDDET_QUANT=int8 python bench.py
 
 # full perf record, one command (run after chipcheck when the tunnel is up);

@@ -294,3 +294,39 @@ def test_gather_decode_pairs_production_width():
     # for random f32 inputs, ties are measure-zero)
     np.testing.assert_array_equal(np.asarray(v_m), np.asarray(want_v))
     np.testing.assert_array_equal(np.asarray(i_m), np.asarray(want_i))
+
+
+def test_fused_late_decode_det_ranking_matches_xla(monkeypatch):
+    """Fused path under VIDDET_PAIR_TOPK=det (deterministic stage-2
+    ranking): pallas_interpret must stay bit-identical to the XLA chain
+    through the hierarchical merged ranking.  Unique static args (topk,
+    post_nms) force a retrace so the monkeypatched trace-time env knob is
+    actually read."""
+    monkeypatch.setenv("VIDDET_PAIR_TOPK", "det")
+    rng = np.random.default_rng(5)
+    b, img, c = 2, 64, 20
+    cells, meta, consts, flat = _make_scales(rng, b, img, c)
+
+    raw = jnp.concatenate(flat, axis=1)
+    cls_max = jnp.max(raw[..., 5:], axis=-1)
+    cj = jnp.asarray(consts)
+    kw = dict(iou_thresh=0.45, valid_thresh=0.01, topk=48, post_nms=12)
+
+    ids_x, sc_x, bx_x = multiclass_nms_late_decode(
+        raw[..., 0:2].astype(jnp.float32),
+        raw[..., 2:4].astype(jnp.float32),
+        raw[..., 4:5],
+        raw[..., 5:],
+        cls_max,
+        cj[:, 0:2],
+        cj[:, 2:4],
+        cj[:, 4:5],
+        backend="xla",
+        **kw,
+    )
+    ids_p, sc_p, bx_p = multiclass_nms_late_decode_fused(
+        tuple(cells), None, meta, backend="pallas_interpret", **kw
+    )
+    np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
+    np.testing.assert_array_equal(np.asarray(sc_p), np.asarray(sc_x))
+    np.testing.assert_array_equal(np.asarray(bx_p), np.asarray(bx_x))

@@ -184,3 +184,46 @@ def test_scan_kernel_rejects_non_divisor_ranks_per_step():
     valid = jnp.ones((2, 10), bool)
     with pytest.raises(ValueError, match="must divide"):
         nms_keep_mask_pallas(boxes, valid, 0.45, interpret=True, ranks_per_step=4)
+
+
+def test_pair_top_k_det_matches_lax_top_k():
+    """_pair_top_k_det == lax.top_k bitwise, INCLUDING tie order.
+
+    Inputs cover the real stage-2 score shapes: random sigmoid-like
+    values, heavy exact ties (4 quantization levels — the bf16-collision
+    regime the deterministic variant exists for), and rows carrying the
+    hierarchical path's -1.0 dedup sentinels.
+    """
+    from viddet_tpu.ops.nms import _pair_top_k_det
+
+    rng = np.random.default_rng(11)
+    n = 1000
+    random_s = rng.uniform(0, 1, size=(3, n)).astype(np.float32)
+    tied = (rng.integers(0, 4, size=(3, n)) / 4.0).astype(np.float32)
+    with_sentinels = random_s.copy()
+    with_sentinels[:, ::7] = -1.0
+    for arr in (random_s, tied, with_sentinels):
+        for k in (1, 17, 400):
+            want_v, want_i = jax.lax.top_k(jnp.asarray(arr), k)
+            got_v, got_i = _pair_top_k_det(jnp.asarray(arr), k, interpret=True)
+            np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+            np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_two_stage_det_variant_matches_xla(monkeypatch):
+    """End-to-end from-logits path under VIDDET_PAIR_TOPK=det: the
+    deterministic ranking (threshold-select kernel + stable re-rank) must
+    keep the pallas_interpret backend bit-identical to the XLA oracle.
+
+    Static args differ from every other test's so the jit retraces and
+    actually reads the monkeypatched env (trace-time knob)."""
+    monkeypatch.setenv("VIDDET_PAIR_TOPK", "det")
+    rng = np.random.default_rng(13)
+    boxes, obj_logits, cls_logits = random_candidates(rng, 2, 200, 5)
+    kw = dict(iou_thresh=0.45, valid_thresh=0.01, topk=52, post_nms=26)
+    a = multiclass_nms_from_logits(boxes, obj_logits, cls_logits, backend="xla", **kw)
+    b_ = multiclass_nms_from_logits(
+        boxes, obj_logits, cls_logits, backend="pallas_interpret", **kw
+    )
+    for x, y in zip(a, b_):
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))

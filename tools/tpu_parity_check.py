@@ -133,13 +133,24 @@ def check_flagship_bf16():
         total += max(len(set_x), len(set_p))
         diverged += sym
     frac = diverged / max(total, 1)
-    assert frac <= 0.10, (
-        f"{diverged}/{total} detections differ between backends — beyond "
-        "tie-cascade latitude, kernels have diverged"
+    # Under VIDDET_PAIR_TOPK=det the stage-2 ranking is bit-identical to
+    # lax.top_k INCLUDING tie order (ops/nms._pair_top_k_det), so the
+    # tie-cascade latitude collapses: the only residual source is a
+    # boundary tie at the topk-th score falling outside the hierarchical
+    # merged candidate set (PARITY.md "Documented numerical deviations"),
+    # which should be ~never on real scores.  Gate at 0.1% there, 10% for
+    # the approx_max_k default whose tie order is unconstrained.
+    det = os.environ.get("VIDDET_PAIR_TOPK", "approx") == "det"
+    limit = 0.001 if det else 0.10
+    assert frac <= limit, (
+        f"{diverged}/{total} detections differ between backends "
+        f"(limit {limit:.1%}, VIDDET_PAIR_TOPK={'det' if det else 'approx'}) "
+        "— beyond tie latitude, kernels have diverged"
     )
     print(
         f"flagship darknet53@416 bf16: OK ({total} detections, "
-        f"{diverged} tie-cascade divergent = {100 * frac:.1f}%)"
+        f"{diverged} tie-cascade divergent = {100 * frac:.1f}%, "
+        f"limit {limit:.1%})"
     )
 
 

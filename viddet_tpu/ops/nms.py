@@ -154,10 +154,48 @@ def _pair_top_k(pair_scores: jnp.ndarray, k: int, backend: str):
     ``lax.top_k``'s stable lowest-index-first order.  Real pair scores are
     products of distinct sigmoids, where exact f32 ties are measure-zero,
     so the XLA lowering stays the oracle everywhere else.
+
+    ``VIDDET_PAIR_TOPK=det`` (trace-time knob, staged until `make
+    chipcheck` proves it on-chip) removes even that tie latitude: see
+    ``_pair_top_k_det``.  It is also a throughput candidate — the
+    threshold-select kernel measured 0.21 ms at (128, 10647)->400 on v5e
+    where the sort lowerings cost 1.2+ ms.
     """
+    if backend in ("pallas", "pallas_interpret"):
+        if os.environ.get("VIDDET_PAIR_TOPK", "approx") == "det":
+            return _pair_top_k_det(
+                pair_scores, k, interpret=(backend == "pallas_interpret")
+            )
     if backend == "pallas":
         return jax.lax.approx_max_k(pair_scores, k, recall_target=1.0)
     return jax.lax.top_k(pair_scores, k)
+
+
+def _pair_top_k_det(pair_scores: jnp.ndarray, k: int, interpret: bool = False):
+    """Deterministic pair top-k: bit-identical to ``lax.top_k`` INCLUDING
+    the stable lowest-index-first order within exact score ties.
+
+    Construction: ``topk_indices_pallas`` (sort-free threshold select)
+    returns exactly ``lax.top_k``'s winner SET — score > T plus the
+    lowest-index ties at the k-th score T — in ascending-index order.
+    Gathering those k scores and re-ranking them with a small
+    ``lax.top_k`` (stable: equal values keep their relative input order,
+    which here IS ascending original index) reproduces the full-width
+    ``lax.top_k`` output order exactly, at the cost of a (B, k) sort
+    instead of a (B, N) one.
+
+    Precondition (inherited from the kernel): scores >= 0 except for
+    -1.0 padding/sentinel slots, with at least k non-negative entries
+    per row.  Every stage-2 caller satisfies this: pair scores are
+    sigmoid products / softmax probabilities, and the hierarchical
+    merged set's only negatives are the -1.0 dedup sentinels.
+    """
+    from viddet_tpu.ops.topk_pallas import topk_indices_pallas
+
+    idx = topk_indices_pallas(pair_scores, k, interpret=interpret)  # (B, k)
+    vals = jnp.take_along_axis(pair_scores, idx, axis=1)
+    v_sorted, pos = jax.lax.top_k(vals, k)
+    return v_sorted, jnp.take_along_axis(idx, pos, axis=1)
 
 
 def _nms_on_candidates(cand_boxes, top_scores, cls_idx, valid, iou_thresh, post_nms, backend):
