@@ -47,6 +47,8 @@ benchall:
 	python tools/train_bench.py --family frcnn
 	python tools/serve_bench.py --concurrency 32 --requests 400
 	python tools/stream_bench.py --streams 4
+	python tools/stream_bench.py --decode-bypass
+	python tools/stream_bench.py --decode-sweep 1,2,4
 	python tools/loader_bench.py
 
 # build the C++ host decode library (also auto-built on first import)
