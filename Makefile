@@ -24,6 +24,7 @@ chipcheck:
 	python tools/trace_tail.py --group compact
 	python tools/trace_tail.py --group scores
 	python tools/trace_tail.py --group topm
+	python tools/trace_tail.py --group pairtopk
 	VIDDET_COMPACT_KERNEL=1 python tools/tpu_parity_check.py
 	VIDDET_SCORE_KERNEL=masked python tools/tpu_parity_check.py
 	VIDDET_TOPM_KERNEL=rank python tools/tpu_parity_check.py

@@ -15,6 +15,8 @@ Variant groups:
   compact   compact_and_pad: pallas kernel vs the XLA vmap tail
   scores    anchor-score kernel: slice vs lane-masked formulations
   topm      gather-decode top-m: serial extract vs all-pairs rank
+  pairtopk  stage-2 merged ranking: approx_max_k vs deterministic
+            threshold-select + k-wide re-rank (VIDDET_PAIR_TOPK=det)
   glue      the XLA class-offset + compact tail for attribution
 """
 
@@ -228,6 +230,41 @@ def build_variants(group, b, k, topk, m, j, c, interpret=False):
             tuple(raws) + (aidx,),
         ))
 
+    if group in ("all", "pairtopk"):
+        # stage-2 merged-ranking formulations at the flagship hier width
+        # (k*(m-1) + j*c = 6800) and the dense two-stage width (k*c =
+        # 32000): approx_max_k (production) vs the deterministic
+        # threshold-select + stable k-wide re-rank (_pair_top_k_det).
+        # Flip the default with VIDDET_PAIR_TOPK=det if det is faster —
+        # it is also the bit-for-bit tie-order fix (PARITY.md).
+        from viddet_tpu.ops.nms import _pair_top_k_det
+
+        for label, width in (("hier", k * (m - 1) + j * c), ("dense", k * c)):
+            pk = jax.random.split(jax.random.key(2 + len(label)), 2)
+            merged = jax.random.uniform(pk[0], (b, width))
+            # sprinkle the hier path's -1.0 dedup sentinels
+            sent = jax.random.uniform(pk[1], (b, width)) < 0.05
+            merged = jnp.where(sent, -1.0, merged)
+
+            def approx_once(ms, _topk=topk):
+                v, i = jax.lax.approx_max_k(ms, _topk, recall_target=1.0)
+                return jnp.sum(v) + jnp.sum(i).astype(jnp.float32)
+
+            def det_once(ms, _topk=topk):
+                v, i = _pair_top_k_det(ms, _topk, interpret=interpret)
+                return jnp.sum(v) + jnp.sum(i).astype(jnp.float32)
+
+            variants.append((
+                f"pair_approx_{label}",
+                _named(chain(approx_once, 1), f"pair_approx_{label}"),
+                (merged,),
+            ))
+            variants.append((
+                f"pair_det_{label}",
+                _named(chain(det_once, 1), f"pair_det_{label}"),
+                (merged,),
+            ))
+
     if group in ("all", "glue"):
         import jax as _jax
 
@@ -270,7 +307,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--group", default="all",
                    choices=("all", "scan", "finalize", "glue", "compact",
-                            "scores", "topm"))
+                            "scores", "topm", "pairtopk"))
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--topk", type=int, default=400)
     p.add_argument("--classes", type=int, default=80)
