@@ -276,3 +276,41 @@ def test_flush_deadline_anchored_to_first_frame():
         f"first result after {first_dt:.2f}s — partial-batch flush did not "
         "fire at the deadline"
     )
+
+
+def test_idle_drain_releases_results_while_source_stalls():
+    """ADVICE r3: a live source that stalls AFTER a partial-batch submit
+    must not withhold the already-computed detections — the loop drains
+    pending batches when the ready-queue wait times out with no new items
+    (mirrors DetectionService._run's idle drain)."""
+    import time
+
+    import numpy as np
+
+    from viddet_tpu.infer.multistream import stream_detect_multi
+
+    def stalling_src():
+        yield 0, None, np.zeros((8, 8, 3), np.float32), np.zeros(4, np.float32)
+        time.sleep(30.0)  # stall far longer than the test budget; never ends
+
+    def fake_infer(_variables, batch):
+        b = batch.shape[0]
+        return (
+            np.zeros((b, 5), np.float32),
+            np.zeros((b, 5), np.float32),
+            np.zeros((b, 5, 4), np.float32),
+        )
+
+    t0 = time.perf_counter()
+    gen = stream_detect_multi(
+        {"s": stalling_src()}, fake_infer, None, batch_size=32,
+        input_shape=(8, 8), flush_ms=100.0, max_in_flight=2,
+    )
+    out = next(gen)  # must arrive despite max_in_flight not being reached
+    dt = time.perf_counter() - t0
+    gen.close()
+    assert out[0] == "s" and out[1] == 0
+    assert dt < 2.0, (
+        f"first result after {dt:.2f}s — idle drain did not release the "
+        "computed partial batch while the source stalled"
+    )
