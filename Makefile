@@ -5,7 +5,8 @@
 test:
 	python -m pytest tests/ -x -q
 
-# everything except @pytest.mark.slow (overfit-to-mAP gates etc.) — ~10 min
+# everything except @pytest.mark.slow (overfit gates, R50 equality) —
+# ~16 min on this 1-core box (compile-bound; measured r4)
 test-fast:
 	python -m pytest tests/ -x -q -m "not slow"
 

@@ -50,12 +50,19 @@ def test_sharded_step_matches_single_device():
     # (a) single device
     state_a, losses_a = step(fresh_state(), images, gt_boxes, gt_ids)
 
-    # (b) batch sharded over the 8-device data mesh, state replicated
+    # (b) batch sharded over the 8-device data mesh, state replicated.
+    # The one sharded compile also serves the partitioned-HLO assertion:
+    # the GSPMD step must carry a cross-device all-reduce (the
+    # KVStore/NCCL equivalent).
     mesh = make_mesh()
     rep = replicate(mesh)
     state_b = jax.tree.map(lambda x: jax.device_put(x, rep), fresh_state())
     sharded = put_batch((images, gt_boxes, gt_ids), mesh)
-    state_b, losses_b = step(state_b, *sharded)
+    compiled = step.lower(state_b, *sharded).compile()
+    assert "all-reduce" in compiled.as_text(), (
+        "no cross-device reduction in the DP step"
+    )
+    state_b, losses_b = compiled(state_b, *sharded)
 
     np.testing.assert_allclose(
         float(losses_a["total"]), float(losses_b["total"]), rtol=1e-5
@@ -66,33 +73,6 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(pa), np.asarray(pb), rtol=1e-3, atol=2e-5
         )
-
-
-def test_compiled_step_contains_allreduce():
-    """The GSPMD-partitioned train step must carry a cross-device
-    all-reduce (the KVStore/NCCL equivalent) when the batch is sharded."""
-    module = YOLOv3(num_classes=3, backbone="tiny", policy=FLOAT32_POLICY)
-    size, batch = 64, 8
-    x = jnp.zeros((batch, size, size, 3), jnp.float32)
-    variables = module.init(jax.random.key(0), x, train=True)
-    tx = make_optimizer(make_lr_schedule(1e-3, 1), weight_decay=0.0)
-    state = TrainState.create(
-        params=variables["params"], batch_stats=variables["batch_stats"], tx=tx
-    )
-    step = make_train_step(
-        module,
-        strides=(32, 16),
-        anchors=(((40, 40), (24, 48), (48, 24)), ((10, 10), (16, 8), (8, 16))),
-        num_classes=3,
-    )
-    mesh = make_mesh()
-    state = jax.tree.map(lambda a: jax.device_put(a, replicate(mesh)), state)
-    gt_boxes = jnp.zeros((batch, 2, 4))
-    gt_ids = jnp.zeros((batch, 2), jnp.int32)
-    sharded = put_batch((x, gt_boxes, gt_ids), mesh)
-    compiled = step.lower(state, *sharded).compile()
-    hlo = compiled.as_text()
-    assert "all-reduce" in hlo, "no cross-device reduction in the DP step"
 
 
 def test_sharded_eval_matches_single_device():

@@ -11,6 +11,7 @@ the partitioned HLO must carry a cross-device all-reduce.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from viddet_tpu.core.precision import FLOAT32_POLICY
 from viddet_tpu.models import faster_rcnn as F
@@ -109,7 +110,13 @@ def _frcnn_setup():
     return module, _fresh_factory(variables), make_frcnn_train_step(module)
 
 
+@pytest.mark.slow
 def test_ssd_sharded_step_matches_single_device():
+    """slow: two full ResNet-50 train-step compiles (~90s on 1 CPU core).
+    The fast suite keeps test_ssd_step_contains_allreduce (sharded
+    compile + HLO check); sharded-step EXECUTION runs every driver round
+    via the all-family dryrun_multichip; this exact-equality gate runs
+    in `make test`."""
     assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
     _, fresh, step = _ssd_setup()
     images, gt_boxes, gt_ids = _batch(0)
@@ -129,6 +136,10 @@ def test_ssd_sharded_step_matches_single_device():
 
 
 def test_ssd_step_contains_allreduce():
+    """Fast-suite family-DP gate: sharded compile + partitioned-HLO
+    all-reduce assertion.  EXECUTION of the sharded step is covered every
+    driver round by the all-family dryrun_multichip and by the slow
+    equality twin (executing here costs ~20s more on 1 CPU core)."""
     _, fresh, step = _ssd_setup()
     images, gt_boxes, gt_ids = _batch(1)
     mesh = make_mesh()
@@ -138,10 +149,14 @@ def test_ssd_step_contains_allreduce():
     assert "all-reduce" in hlo, "no cross-device reduction in the SSD DP step"
 
 
+@pytest.mark.slow
 def test_frcnn_sharded_step_matches_single_device():
     """The rng is REPLICATED (same key on every device): GSPMD partitions
     one global program, so in-graph RPN/ROI sampling must draw the same
-    global random bits as the single-device run."""
+    global random bits as the single-device run.
+
+    slow: two full R50-FPN train-step compiles (~115s on 1 CPU core);
+    fast-suite coverage note on the SSD twin applies here too."""
     assert len(jax.devices()) == 8
     _, fresh, step = _frcnn_setup()
     images, gt_boxes, gt_ids = _batch(2)
@@ -163,6 +178,7 @@ def test_frcnn_sharded_step_matches_single_device():
 
 
 def test_frcnn_step_contains_allreduce():
+    """Fast-suite family-DP gate (see the SSD twin's docstring)."""
     _, fresh, step = _frcnn_setup()
     images, gt_boxes, gt_ids = _batch(3)
     mesh = make_mesh()

@@ -29,18 +29,36 @@ from viddet_tpu.train.state import (
 ANCHORS = (((40, 40), (24, 48), (48, 24)), ((10, 10), (16, 8), (8, 16)))
 
 
-def setup():
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _shared():
+    """One model init + ONE jitted train step for the whole module.
+
+    Resume bit-identity is a property of the STATE contents, not of the
+    executable's identity, so every test can reuse the same compiled step
+    (three separate make_train_step compiles cost ~40s on 1 CPU core).
+    """
     module = YOLOv3(num_classes=2, backbone="tiny", policy=FLOAT32_POLICY)
     x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
     variables = module.init(jax.random.key(0), x, train=True)
     tx = make_optimizer(make_lr_schedule(1e-3, 1), weight_decay=0.0)
-    state = TrainState.create(
-        params=variables["params"], batch_stats=variables["batch_stats"], tx=tx
-    )
     step = make_train_step(module, strides=(32, 16), anchors=ANCHORS, num_classes=2)
     gt_boxes = jnp.asarray([[[8.0, 8.0, 40.0, 48.0]]] * 2)
     gt_ids = jnp.asarray([[1]] * 2, jnp.int32)
-    return module, state, step, (x, gt_boxes, gt_ids)
+    return module, variables, tx, step, (x, gt_boxes, gt_ids)
+
+
+def setup():
+    """Fresh state (copied leaves) over the shared module/step/batch."""
+    module, variables, tx, step, batch = _shared()
+    state = TrainState.create(
+        params=jax.tree.map(jnp.copy, variables["params"]),
+        batch_stats=jax.tree.map(jnp.copy, variables["batch_stats"]),
+        tx=tx,
+    )
+    return module, state, step, batch
 
 
 def leaves(tree):

@@ -113,17 +113,23 @@ def test_frcnn_forward(train):
         for k, v in losses.items():
             assert np.isfinite(float(v)), k
     else:
-        out = module.apply(variables, x, train=False)
-        r = TINY_CFG.rpn_post_nms_test
-        assert out["proposals"].shape == (1, r, 4)
-        assert out["roi_cls_logits"].shape == (1, r, 4)
+        # frcnn_forward_and_postprocess runs the same eval forward
+        # internally; a separate module.apply(train=False) here would
+        # just compile the eval graph a second time (~15s on 1 CPU core)
         ids_o, scores_o, boxes_o = F.frcnn_forward_and_postprocess(
             module, variables, x, backend="xla", topk=64, post_nms=16
         )
         assert ids_o.shape == (1, 16) and boxes_o.shape == (1, 16, 4)
+        assert np.isfinite(np.asarray(scores_o)).all()
 
 
+@pytest.mark.slow
 def test_frcnn_train_step_loss_decreases():
+    """slow: a full R50-FPN train-step compile + 12 CPU steps (~42s on 1
+    core).  Fast-suite FRCNN coverage: forward train/eval + finite loss
+    (test_frcnn_forward) and the executed sharded step in
+    test_data_parallel_families; convergence is pinned by the slow
+    overfit-to-mAP gate."""
     from viddet_tpu.train.loop import make_frcnn_train_step
     from viddet_tpu.train.state import TrainState, make_lr_schedule, make_optimizer
 

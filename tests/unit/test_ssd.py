@@ -54,23 +54,39 @@ def test_target_threshold_match():
 
 
 def test_ssd_forward_and_loss_small():
-    module = S.SSD(num_classes=3, image_size=128, policy=FLOAT32_POLICY)
-    x = jnp.zeros((2, 128, 128, 3), jnp.float32)
+    # 64px: the smallest size exercising the whole extras chain (c5 at
+    # stride 32 is 2x2; the four stride-2 extras bottom out at 1x1) at
+    # roughly a quarter of the 128px compile time on one CPU core
+    module = S.SSD(num_classes=3, image_size=64, policy=FLOAT32_POLICY)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
     variables = module.init(jax.random.key(0), x, train=True)
     out = module.apply(variables, x, train=False)
     n = out["anchors"].shape[0]
     assert out["cls_logits"].shape == (2, n, 4)
     assert out["boxes"].shape == (2, n, 4)
 
-    gt_boxes = jnp.asarray([[[10, 10, 60, 80]], [[20, 20, 100, 100]]], jnp.float32)
+    gt_boxes = jnp.asarray([[[5, 5, 30, 40]], [[10, 10, 50, 50]]], jnp.float32)
     gt_ids = jnp.asarray([[0], [2]], jnp.int32)
     losses = S.ssd_loss(out, gt_boxes, gt_ids)
     for k in ("cls", "box", "total"):
         assert np.isfinite(float(losses[k])), k
     assert float(losses["npos"]) >= 1.0
 
+    # fast-suite coverage of the SSD inference tail (softmax two-stage
+    # NMS postprocess) on the same initialized weights — the trained-
+    # weights version lives in the slow train-step test below
+    ids, scores, boxes = S.ssd_forward_and_postprocess(
+        module, variables, x,
+        S.SSDNMSConfig(backend="xla", topk=64, post_nms=16),
+    )
+    assert ids.shape == (2, 16) and boxes.shape == (2, 16, 4)
 
+
+@pytest.mark.slow
 def test_ssd_train_step_and_inference():
+    """slow: a full R50 train-step compile + 25 CPU steps (~57s on 1
+    core).  Fast-suite SSD coverage: forward/loss/postprocess above and
+    the executed sharded step in test_data_parallel_families."""
     from viddet_tpu.train.loop import make_ssd_train_step
     from viddet_tpu.train.state import TrainState, make_lr_schedule, make_optimizer
 

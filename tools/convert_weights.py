@@ -154,6 +154,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+
+    # weight conversion is pure host work: pin the CPU backend so the tool
+    # never blocks on the (possibly unreachable) TPU tunnel
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from viddet_tpu.models import get_model
