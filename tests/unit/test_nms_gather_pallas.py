@@ -330,3 +330,45 @@ def test_fused_late_decode_det_ranking_matches_xla(monkeypatch):
     np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
     np.testing.assert_array_equal(np.asarray(sc_p), np.asarray(sc_x))
     np.testing.assert_array_equal(np.asarray(bx_p), np.asarray(bx_x))
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_fused_late_decode_fuzz_configs():
+    """Config fuzz: the fused path must stay bit-identical to the XLA
+    chain across class counts (hier and non-hier regimes), topk values,
+    image sizes, and batch sizes — not just the two fixed-seed configs
+    above.  Interpret-mode; slow (one compile per config on CPU)."""
+    cases = [
+        # (b, img, c, topk, post_nms) — c=6 stays below the hier m+1=10
+        # threshold, c=20/33 exercise the pigeonhole path at different
+        # topk/width ratios, img=32 makes k*c < topk padding kick in
+        (1, 32, 6, 24, 8),
+        (2, 64, 20, 96, 24),
+        (3, 64, 33, 40, 20),
+        (2, 96, 20, 160, 40),
+    ]
+    for seed, (b, img, c, topk, post_nms) in enumerate(cases, start=50):
+        rng = np.random.default_rng(seed)
+        cells, meta, consts, flat = _make_scales(rng, b, img, c)
+        raw = jnp.concatenate(flat, axis=1)
+        cls_max = jnp.max(raw[..., 5:], axis=-1)
+        cj = jnp.asarray(consts)
+        kw = dict(iou_thresh=0.45, valid_thresh=0.01, topk=topk,
+                  post_nms=post_nms)
+        ids_x, sc_x, bx_x = multiclass_nms_late_decode(
+            raw[..., 0:2].astype(jnp.float32),
+            raw[..., 2:4].astype(jnp.float32),
+            raw[..., 4:5], raw[..., 5:], cls_max,
+            cj[:, 0:2], cj[:, 2:4], cj[:, 4:5],
+            backend="xla", **kw,
+        )
+        ids_p, sc_p, bx_p = multiclass_nms_late_decode_fused(
+            tuple(cells), None, meta, backend="pallas_interpret", **kw
+        )
+        msg = f"config {(b, img, c, topk, post_nms)}"
+        np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x), err_msg=msg)
+        np.testing.assert_array_equal(np.asarray(sc_p), np.asarray(sc_x), err_msg=msg)
+        np.testing.assert_array_equal(np.asarray(bx_p), np.asarray(bx_x), err_msg=msg)
