@@ -335,12 +335,28 @@ def test_fused_late_decode_det_ranking_matches_xla(monkeypatch):
 import pytest
 
 
+def _oracle_late_decode(raw, consts, backend, **kw):
+    cls_max = jnp.max(raw[..., 5:], axis=-1)
+    cj = jnp.asarray(consts)
+    return multiclass_nms_late_decode(
+        raw[..., 0:2].astype(jnp.float32),
+        raw[..., 2:4].astype(jnp.float32),
+        raw[..., 4:5], raw[..., 5:], cls_max,
+        cj[:, 0:2], cj[:, 2:4], cj[:, 4:5],
+        backend=backend, **kw,
+    )
+
+
 @pytest.mark.slow
 def test_fused_late_decode_fuzz_configs():
     """Config fuzz: the fused path must stay bit-identical to the XLA
     chain across class counts (hier and non-hier regimes), topk values,
     image sizes, and batch sizes — not just the two fixed-seed configs
-    above.  Interpret-mode; slow (one compile per config on CPU)."""
+    above.  f32 raws: random normals never tie in f32, so strict
+    bit-equality is the correct oracle for the approx ranking (its tie
+    latitude is documented; the bf16 tie regime is pinned separately by
+    test_fused_det_bit_exact_under_bf16_ties).  Interpret-mode; slow
+    (one compile per config on CPU)."""
     cases = [
         # (b, img, c, topk, post_nms) — c=6 stays below the hier m+1=10
         # threshold, c=20/33 exercise the pigeonhole path at different
@@ -352,19 +368,13 @@ def test_fused_late_decode_fuzz_configs():
     ]
     for seed, (b, img, c, topk, post_nms) in enumerate(cases, start=50):
         rng = np.random.default_rng(seed)
-        cells, meta, consts, flat = _make_scales(rng, b, img, c)
+        cells, meta, consts, flat = _make_scales(
+            rng, b, img, c, dtype=jnp.float32
+        )
         raw = jnp.concatenate(flat, axis=1)
-        cls_max = jnp.max(raw[..., 5:], axis=-1)
-        cj = jnp.asarray(consts)
         kw = dict(iou_thresh=0.45, valid_thresh=0.01, topk=topk,
                   post_nms=post_nms)
-        ids_x, sc_x, bx_x = multiclass_nms_late_decode(
-            raw[..., 0:2].astype(jnp.float32),
-            raw[..., 2:4].astype(jnp.float32),
-            raw[..., 4:5], raw[..., 5:], cls_max,
-            cj[:, 0:2], cj[:, 2:4], cj[:, 4:5],
-            backend="xla", **kw,
-        )
+        ids_x, sc_x, bx_x = _oracle_late_decode(raw, consts, "xla", **kw)
         ids_p, sc_p, bx_p = multiclass_nms_late_decode_fused(
             tuple(cells), None, meta, backend="pallas_interpret", **kw
         )
@@ -372,3 +382,46 @@ def test_fused_late_decode_fuzz_configs():
         np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x), err_msg=msg)
         np.testing.assert_array_equal(np.asarray(sc_p), np.asarray(sc_x), err_msg=msg)
         np.testing.assert_array_equal(np.asarray(bx_p), np.asarray(bx_x), err_msg=msg)
+
+
+def test_fused_bf16_tie_latitude_is_score_multiset_only(monkeypatch):
+    """bf16 raws (seed 52, c=33) produce EXACT score ties whose order
+    differs between the hier merged layout and the flat pair order —
+    the documented approx-path latitude.  Assert it stays tie-shaped:
+    sorted score multisets equal (found by the round-4 config fuzz)."""
+    monkeypatch.delenv("VIDDET_PAIR_TOPK", raising=False)
+    rng = np.random.default_rng(52)
+    b, img, c = 3, 64, 33
+    cells, meta, consts, flat = _make_scales(rng, b, img, c)  # bf16
+    raw = jnp.concatenate(flat, axis=1)
+    kw = dict(iou_thresh=0.45, valid_thresh=0.01, topk=40, post_nms=20)
+    _, sc_x, _ = _oracle_late_decode(raw, consts, "xla", **kw)
+    _, sc_p, _ = multiclass_nms_late_decode_fused(
+        tuple(cells), None, meta, backend="pallas_interpret", **kw
+    )
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(sc_p), axis=1), np.sort(np.asarray(sc_x), axis=1)
+    )
+
+
+def test_fused_det_bit_exact_under_bf16_ties(monkeypatch):
+    """VIDDET_PAIR_TOPK=det must be bit-identical to the XLA chain even
+    on the tie-heavy bf16 input that makes the approx path swap rows
+    (same seed as above): under det the fused path skips the hier
+    layout and ranks the full k*C width with the threshold-select
+    kernel, whose selection AND tie order equal lax.top_k's exactly."""
+    monkeypatch.setenv("VIDDET_PAIR_TOPK", "det")
+    rng = np.random.default_rng(52)
+    b, img, c = 3, 64, 33
+    cells, meta, consts, flat = _make_scales(rng, b, img, c)  # bf16
+    raw = jnp.concatenate(flat, axis=1)
+    # distinct static args from the approx test above -> forced retrace
+    # (the env knob is read at trace time)
+    kw = dict(iou_thresh=0.45, valid_thresh=0.01, topk=44, post_nms=22)
+    ids_x, sc_x, bx_x = _oracle_late_decode(raw, consts, "xla", **kw)
+    ids_p, sc_p, bx_p = multiclass_nms_late_decode_fused(
+        tuple(cells), None, meta, backend="pallas_interpret", **kw
+    )
+    np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
+    np.testing.assert_array_equal(np.asarray(sc_p), np.asarray(sc_x))
+    np.testing.assert_array_equal(np.asarray(bx_p), np.asarray(bx_x))

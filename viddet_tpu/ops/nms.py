@@ -397,6 +397,10 @@ def multiclass_nms_late_decode_fused(
     """
     from viddet_tpu.ops.nms_gather_pallas import gather_decode_pairs
 
+    # Trace-time knob (set before process start, like every VIDDET_* flag):
+    # deterministic ranking — see the use_hier comment below.
+    pair_det = os.environ.get("VIDDET_PAIR_TOPK", "approx") == "det"
+
     na0 = len(meta[0][3])
     n = sum(mm[0] for mm in meta) * na0
     k = min(topk, n)
@@ -423,12 +427,35 @@ def multiclass_nms_late_decode_fused(
     from viddet_tpu.ops.topk_pallas import topk_indices_pallas
 
     a_idx = topk_indices_pallas(anchor_score, k, interpret=interp)  # (B, k)
+    if pair_det:
+        # Deterministic mode: reorder the winners into lax.top_k's exact
+        # order (score desc, ties lowest-index-first — the stable re-rank
+        # over ascending-index winners reproduces it bitwise).  The boxes_k
+        # layout then matches the XLA oracle's element-for-element, so
+        # even cross-anchor pair-score ties rank identically downstream.
+        # Without det the ascending order is fine: stage-2 re-ranks by
+        # score, and the approx path's tie latitude is documented.
+        a_sc = jnp.take_along_axis(anchor_score, a_idx, axis=1)
+        _, pos = jax.lax.top_k(a_sc, k)
+        a_idx = jnp.take_along_axis(a_idx, pos, axis=1)
 
     na = len(meta[0][3])
     c = raws_cells[0].shape[-1] // na - 5
     m = 9
     j = min((topk - 1) // m + 1, k)
-    use_hier = c > m + 1 and k * (m - 1) >= topk
+    # Under the deterministic ranking (VIDDET_PAIR_TOPK=det) skip the
+    # hierarchical reduced-width ranking and rank the FULL k*C pair
+    # width: the hier merged layout orders exact score ties differently
+    # from the flat pair-index order (cand section before hot section),
+    # so even a deterministic rank of the merged array can tie-swap vs
+    # the oracle.  Full-width det ranking removes the deviation class
+    # entirely — threshold-select == lax.top_k's set AND order — making
+    # the fused path bit-identical to the XLA chain under ARBITRARY ties
+    # (bf16 included).  Cost trade on v5e (docs/perf_notes.md): gather
+    # drops to the m=0 floor (0.59 vs 1.2 ms) while the select widens
+    # (k*C=32000 vs 6800) — adjudicated on-chip by trace_tail --group
+    # pairtopk before this flag can become the default.
+    use_hier = c > m + 1 and k * (m - 1) >= topk and not pair_det
     outs = gather_decode_pairs(
         tuple(raws_cells),
         a_idx,
