@@ -359,12 +359,14 @@ def test_fused_late_decode_fuzz_configs():
     (one compile per config on CPU)."""
     cases = [
         # (b, img, c, topk, post_nms) — c=6 stays below the hier m+1=10
-        # threshold, c=20/33 exercise the pigeonhole path at different
-        # topk/width ratios, img=32 makes k*c < topk padding kick in
+        # threshold; c=20/33 exercise the pigeonhole path at different
+        # topk/width ratios; the last config forces the k*c < topk pad
+        # branch (img=32 -> n=63 anchors, k=min(400,63)=63, k*c=378<400)
         (1, 32, 6, 24, 8),
         (2, 64, 20, 96, 24),
         (3, 64, 33, 40, 20),
         (2, 96, 20, 160, 40),
+        (1, 32, 6, 400, 32),
     ]
     for seed, (b, img, c, topk, post_nms) in enumerate(cases, start=50):
         rng = np.random.default_rng(seed)

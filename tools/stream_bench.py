@@ -200,6 +200,13 @@ def main(argv=None):
     kind = "native C++ decode" if native.available() else "cv2 decode thread"
 
     if args.decode_bypass:
+        if k > 1 or args.streams > 1:
+            raise SystemExit(
+                "--decode-bypass supports the single-frame single-stream "
+                "pipeline only (the replay feeds (H, W, 3) frames; clip "
+                "assembly and multi-stream batching are decode-side "
+                "features the bypass removes)"
+            )
         # Pre-extract once (decode cost paid outside the timed window),
         # then replay the uint8 frames from RAM: the chip-side pipeline
         # (transfer -> in-graph normalize -> forward -> fused NMS -> fetch)

@@ -133,13 +133,16 @@ def check_flagship_bf16():
         total += max(len(set_x), len(set_p))
         diverged += sym
     frac = diverged / max(total, 1)
-    # Under VIDDET_PAIR_TOPK=det the stage-2 ranking is bit-identical to
-    # lax.top_k INCLUDING tie order (ops/nms._pair_top_k_det), so the
-    # tie-cascade latitude collapses: the only residual source is a
-    # boundary tie at the topk-th score falling outside the hierarchical
-    # merged candidate set (PARITY.md "Documented numerical deviations"),
-    # which should be ~never on real scores.  Gate at 0.1% there, 10% for
-    # the approx_max_k default whose tie order is unconstrained.
+    # Under VIDDET_PAIR_TOPK=det the fused path is bit-identical to the
+    # XLA oracle by construction — full-width deterministic ranking, hier
+    # path bypassed, stage-1 re-ranked to lax.top_k order (PARITY.md
+    # "Documented numerical deviations"; pinned on a tie-heavy bf16
+    # fixture by test_fused_det_bit_exact_under_bf16_ties).  The expected
+    # divergence is therefore ZERO; the 0.1% gate (0-1 rows on this
+    # fixture) is slack for on-chip arithmetic surprises only — treat ANY
+    # nonzero det-mode divergence as a kernel regression to investigate,
+    # not as expected latitude.  The approx_max_k default keeps 10%
+    # (unconstrained tie order cascading through greedy NMS).
     det = os.environ.get("VIDDET_PAIR_TOPK", "approx") == "det"
     limit = 0.001 if det else 0.10
     assert frac <= limit, (

@@ -189,9 +189,12 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
         return None
     # Match finalized directories only: an async save that died mid-write
     # leaves an Orbax temp dir (step_XXXXXXXX.orbax-checkpoint-tmp-*) that
-    # startswith("step_") would pick up and hand to restore.
+    # startswith("step_") would pick up and hand to restore.  8+ digits and
+    # a NUMERIC sort: save_checkpoint's {step:08d} grows past 8 digits for
+    # step >= 1e8, where lexicographic ordering would mis-rank.
     steps = sorted(
-        d for d in os.listdir(ckpt_dir) if re.fullmatch(r"step_\d{8}", d)
+        (d for d in os.listdir(ckpt_dir) if re.fullmatch(r"step_\d{8,}", d)),
+        key=lambda d: int(d[5:]),
     )
     return os.path.join(ckpt_dir, steps[-1]) if steps else None
 
