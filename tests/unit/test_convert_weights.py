@@ -114,3 +114,38 @@ def test_darknet_weights_rejects_mismatched_file(tmp_path):
 
     with pytest.raises(ValueError, match="truncated|left after"):
         read_darknet_weights(path, specs)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.slow
+def test_darknet_weights_roundtrip_darknet53(tmp_path):
+    """Full-size check: the 75-conv darknet53+head interleave (backbone,
+    per-scale 5-conv blocks, tips, biased output convs, lateral convs
+    between scales) survives export -> import bit-exactly.  Slow: one
+    full model init on CPU."""
+    from tools.darknet_weights import (
+        conv_layer_specs,
+        read_darknet_weights,
+        write_darknet_weights,
+    )
+    from viddet_tpu.models import get_model
+
+    module, _ = get_model("yolo3_darknet53_coco")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = module.init(jax.random.key(5), x, train=False)
+
+    specs = conv_layer_specs(v["params"])
+    assert len(specs) == 75  # yolov3.cfg conv count
+    assert sum(1 for _, has_bias in specs if has_bias) == 3  # output convs
+
+    path = str(tmp_path / "d53.weights")
+    write_darknet_weights(path, v["params"], v["batch_stats"])
+    items = read_darknet_weights(path, specs)
+    params, stats, n_filled, n_targets = convert(items, v["params"], v["batch_stats"])
+    assert n_filled == n_targets
+    for a, b in zip(jax.tree.leaves(v["params"]), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(v["batch_stats"]), jax.tree.leaves(stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
