@@ -1,6 +1,6 @@
 # Developer entry points (see README.md).
 
-.PHONY: test test-fast bench native sanitize overfit clean
+.PHONY: test test-fast test-unit bench native sanitize overfit chipsession clean
 
 test:
 	python -m pytest tests/ -x -q
@@ -15,6 +15,11 @@ test-unit:
 
 bench:
 	python bench.py
+
+# unattended on-chip adjudication: chipcheck + traces + benchall with
+# per-step logs that survive a mid-session tunnel drop
+chipsession:
+	bash tools/chip_session.sh
 
 # full on-chip validation ladder (run when the TPU tunnel is up):
 # parity gates first, compact-kernel timing, then the headline bench.
