@@ -305,3 +305,30 @@ def test_extract_frames_cli(tmp_path):
     files = sorted(os.listdir(out))
     assert len(files) == 5
     assert files[0] == "00000000.jpg"
+
+
+def test_evaluate_detections_bit_identical_across_runs(tmp_path, capsys):
+    """Two independent evaluate runs (same seeded init, same data) must
+    produce BYTE-identical detection files, and tools/compare_detections
+    must certify them identical at zero tolerance — the process-level
+    determinism contract behind the fixed-weight parity workflow
+    (PARITY.md 'Known gaps')."""
+    from tools.compare_detections import main as cmp_main
+    from viddet_tpu.cli.evaluate import main
+
+    base = [
+        "--network", "yolo3_tiny_darknet", "--dataset", "synthetic",
+        "--data-root", "synthetic", "--data-shape", "64",
+        "--batch-size", "4", "--max-images", "8", "--num-workers", "2",
+    ]
+    a = str(tmp_path / "a.jsonl")
+    b = str(tmp_path / "b.jsonl")
+    main(base + ["--save-detections", a])
+    main(base + ["--save-detections", b])
+    assert open(a, "rb").read() == open(b, "rb").read()
+
+    import json
+
+    rc = cmp_main([a, b])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and summary["identical"], summary
