@@ -259,3 +259,88 @@ def test_motion_bins_partition():
     for x in np.concatenate([np.linspace(0, 1, 101), [0.7, 0.9, 0.0, 1.0]]):
         holders = [m for m, (lo, hi) in MOTION_BINS.items() if lo < x <= hi]
         assert len(holders) == 1, f"motion {x} in bins {holders}"
+
+
+# ---------------------------------------------------------------------
+# VOC metric: the same metamorphic properties (symmetry with COCO above)
+# ---------------------------------------------------------------------
+
+from viddet_tpu.eval.voc_map import VOCMApMetric
+
+
+def _voc_scene_args(s):
+    """Adapt one make_scene image dict to VOCMApMetric.update (B=1)."""
+    return (
+        s["dt"][None], s["dt_cls"][None].astype(np.float32),
+        s["dt_scores"][None].astype(np.float32),
+        s["gt"][None], s["gt_cls"][None].astype(np.float32),
+        s["crowd"][None].astype(np.float32),  # crowd flag reused as difficult
+    )
+
+
+def _voc_map(scenes, use_07=False):
+    m = VOCMApMetric(0.5, [f"c{i}" for i in range(3)], use_07_metric=use_07)
+    for s in scenes:
+        m.update(*_voc_scene_args(s))
+    names, values = m.get()
+    return {n: v for n, v in zip(names, values) if not np.isnan(v)}
+
+
+def test_voc_worse_duplicate_never_increases_ap():
+    for trial in range(15):
+        rng = np.random.default_rng(1100 + trial)
+        scenes = make_scene(rng)
+        before = _voc_map(scenes)
+        dup = [dict(s) for s in scenes]
+        for s in dup:
+            i = int(rng.integers(0, s["n"]))
+            eps = rng.uniform(0.2, 0.8) * s["dt_scores"][i] / (s["n"] + 7)
+            s["dt"] = np.concatenate([s["dt"], s["dt"][i : i + 1]])
+            s["dt_cls"] = np.concatenate([s["dt_cls"], s["dt_cls"][i : i + 1]])
+            s["dt_scores"] = np.concatenate(
+                [s["dt_scores"], [s["dt_scores"][i] - eps]]
+            )
+        after = _voc_map(dup)
+        for k in before:
+            if k in after:
+                assert after[k] <= before[k] + 1e-9, (trial, k, before[k], after[k])
+
+
+def test_voc_order_invariance():
+    for trial in range(10):
+        rng = np.random.default_rng(1300 + trial)
+        scenes = make_scene(rng)
+        before = _voc_map(scenes, use_07=True)
+        shuffled = []
+        for s in scenes:
+            p = rng.permutation(s["n"])
+            shuffled.append(dict(s, dt=s["dt"][p], dt_cls=s["dt_cls"][p],
+                                 dt_scores=s["dt_scores"][p]))
+        rng.shuffle(shuffled)
+        after = _voc_map(shuffled, use_07=True)
+        assert before == after, (trial, before, after)
+
+
+def test_voc_difficult_gt_is_ignored():
+    """A difficult GT with a matching detection must contribute neither a
+    positive (recall denominator) nor an FP: mAP identical to the scene
+    without that GT+detection pair."""
+    for trial in range(10):
+        rng = np.random.default_rng(1500 + trial)
+        scenes = make_scene(rng)
+        before = _voc_map(scenes)
+        hard = [dict(s) for s in scenes]
+        for s in hard:
+            box = np.array([[4000.0, 4000.0, 4080.0, 4090.0]])
+            cls = int(rng.integers(0, 3))
+            s["gt"] = np.concatenate([s["gt"], box])
+            s["gt_cls"] = np.concatenate([s["gt_cls"], [cls]])
+            s["crowd"] = np.concatenate([s["crowd"], [1]])  # difficult
+            s["dt"] = np.concatenate([s["dt"], box + rng.normal(0, 2, 4)])
+            s["dt_cls"] = np.concatenate([s["dt_cls"], [cls]])
+            s["dt_scores"] = np.concatenate([s["dt_scores"], [1e-4]])
+        after = _voc_map(hard)
+        for k in before:
+            assert k in after and abs(after[k] - before[k]) < 1e-9, (
+                trial, k, before.get(k), after.get(k)
+            )
