@@ -70,6 +70,9 @@ run stream_bench          900 python tools/stream_bench.py --streams 4
 run stream_bypass         900 python tools/stream_bench.py --decode-bypass
 run decode_sweep          900 python tools/stream_bench.py --decode-sweep 1,2,4
 run loader_bench          900 python tools/loader_bench.py
+# paper-comparable latency table across input resolutions (BASELINE.md
+# reference anchors: 22/29/51 ms @ 320/416/608 on Titan X).
+run bench_sweep          1200 python tools/bench_sweep.py --shapes 320,416,608
 
 echo "--- done: $(date -u) ---" | tee -a "$SUMMARY"
 echo "logs in $OUT"

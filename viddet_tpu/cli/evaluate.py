@@ -74,12 +74,28 @@ def evaluate(module, variables, dataset, metric, args, logger):
     else:
         transform = ValTransform(size=size, letterbox_resize=args.letterbox,
                                  normalize=not args.device_normalize)
+    # Multi-host eval sharding: each process takes a disjoint strided slice
+    # of the val set (the loader keeps uneven tails — eval must not drop
+    # images), runs it on its local devices, and the metric states are
+    # all-gathered + merged afterwards (eval/distributed.py).
+    # VIDDET_EVAL_SHARD=i,count forces a shard in a single-process job
+    # (used by the sharded==unsharded regression tests).
+    import os as _os
+
+    shard_env = _os.environ.get("VIDDET_EVAL_SHARD", "")
+    if shard_env:
+        shard = tuple(int(x) for x in shard_env.split(","))
+    elif jax.process_count() > 1:
+        shard = (jax.process_index(), jax.process_count())
+    else:
+        shard = None
     loader = DetectionLoader(
         dataset,
         transform,
         batch_size=args.batch_size,
         train=False,
         num_workers=args.num_workers,
+        shard=shard,
     )
 
     if getattr(args, "quant", ""):
@@ -108,10 +124,10 @@ def evaluate(module, variables, dataset, metric, args, logger):
     # needs the batch divisible by the device count, else fall back to the
     # default single-device placement.
     mesh = make_mesh()
-    # Multi-host eval is NOT wired: the loader here is unsharded and the
-    # metric aggregation fetches full arrays (np.asarray of a non-fully-
-    # addressable array would fail; an unsharded loader would double-count
-    # every image process_count times).  Shard only within one process.
+    # Within-process device sharding splits each batch over local devices;
+    # across processes the LOADER shard above already partitions the image
+    # set, so each process computes on its own slice and only the final
+    # metric-state gather is collective.
     sharded = (
         jax.process_count() == 1
         and mesh.devices.size > 1
@@ -121,8 +137,11 @@ def evaluate(module, variables, dataset, metric, args, logger):
         variables = jax.device_put(variables, replicate(mesh))
         logger.info("eval sharded over %d device(s)", mesh.devices.size)
     elif jax.process_count() > 1:
-        logger.info("multi-host run: eval executes unsharded on process-local "
-                    "devices (multi-host eval sharding not implemented)")
+        logger.info(
+            "multi-host eval: process %d/%d takes a strided shard of "
+            "%d image(s); metric states merged after the loop",
+            jax.process_index(), jax.process_count(), len(dataset),
+        )
     elif mesh.devices.size > 1:
         logger.info(
             "eval on 1 device (batch %d not divisible by %d devices)",
@@ -131,7 +150,11 @@ def evaluate(module, variables, dataset, metric, args, logger):
 
     t0 = time.time()
     seen = 0
-    det_file = open(args.save_detections, "w") if args.save_detections else None
+    det_path = args.save_detections
+    if det_path and jax.process_count() > 1:
+        # one detections file per process shard; merge with plain concat
+        det_path = f"{det_path}.p{jax.process_index()}"
+    det_file = open(det_path, "w") if det_path else None
     try:
         # explicit iterator so an early --max-images break closes the
         # generator deterministically (its finally stops prefetch workers)
@@ -175,9 +198,15 @@ def evaluate(module, variables, dataset, metric, args, logger):
     finally:
         if det_file is not None:
             det_file.close()
-            logger.info("detections written to %s", args.save_detections)
+            logger.info("detections written to %s", det_path)
     dt = time.time() - t0
     logger.info("evaluated %d images in %.1fs (%.1f img/s)", seen, dt, seen / dt)
+    if jax.process_count() > 1:
+        from viddet_tpu.eval.distributed import gather_states, merge_metric_states
+
+        states = gather_states(metric.state_dict())
+        merge_metric_states(metric, states)
+        logger.info("merged metric state from %d process(es)", len(states))
     return metric.get()
 
 

@@ -329,6 +329,26 @@ class COCODetectionMetric:
                 gt_areas=areas,
             )
 
+    def state_dict(self):
+        """Picklable per-image GT/detection tables (multi-host eval merge).
+
+        Eval shards are disjoint image sets, so the merged state is a plain
+        dict union; ``accumulate()`` iterates ``sorted(self.gts)``, making
+        the final numbers independent of merge order.
+        """
+        return {"gts": dict(self._eval.gts), "dts": dict(self._eval.dts)}
+
+    def merge_state(self, state) -> None:
+        dup = set(state["gts"]) & set(self._eval.gts)
+        if dup:
+            # an overlap means some image was evaluated on two shards —
+            # refuse loudly rather than silently overwrite one copy
+            raise ValueError(
+                f"duplicate image ids across eval shards: {sorted(dup)[:5]}"
+            )
+        self._eval.gts.update(state["gts"])
+        self._eval.dts.update(state["dts"])
+
     def get(self) -> Tuple[List[str], List[float]]:
         stats = self._eval.summarize()
         return list(stats.keys()), list(stats.values())

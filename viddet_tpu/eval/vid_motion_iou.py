@@ -109,6 +109,22 @@ class VIDDetectionMetric:
     def update(self, pred_bboxes, pred_ids, pred_scores, indices):
         self.update_with_indices(pred_bboxes, pred_ids, pred_scores, indices)
 
+    def state_dict(self):
+        """Picklable per-frame detection records (multi-host eval merge).
+
+        Records are keyed by dataset index and replayed against local GT in
+        ``get()``; the underlying VOC accumulators sort by score, so merge
+        order does not change the result.  Sorted on export so the merged
+        record list is identical across processes.
+        """
+        return {"records": sorted(self._records, key=lambda r: r[0])}
+
+    def merge_state(self, state) -> None:
+        self._records.extend(
+            (int(i), np.asarray(pb), np.asarray(pi), np.asarray(ps))
+            for i, pb, pi, ps in state["records"]
+        )
+
     def get(self):
         metrics = {
             mode: VOCMApMetric(self._iou_thresh, self._class_names)

@@ -139,6 +139,28 @@ class VOCMApMetric:
                 else:
                     rec.append((score, 0, 1))
 
+    def state_dict(self):
+        """Picklable accumulator state, for cross-process merging.
+
+        Multi-host sharded evaluation (SURVEY.md §4.2: the reference splits
+        eval across workers and aggregates) gathers every process's state
+        and merges with :meth:`merge_state`; ``get()`` sorts per-class
+        records by score, so merge order cannot affect the result.
+        """
+        return {
+            "records": {int(c): list(r) for c, r in self._records.items()},
+            "npos": {int(c): int(n) for c, n in self._npos.items()},
+        }
+
+    def merge_state(self, state) -> None:
+        """Merge another accumulator's ``state_dict()`` into this one."""
+        for c, rec in state["records"].items():
+            self._records.setdefault(int(c), []).extend(
+                (float(s), int(tp), int(fp)) for s, tp, fp in rec
+            )
+        for c, n in state["npos"].items():
+            self._npos[int(c)] = self._npos.get(int(c), 0) + int(n)
+
     def get(self):
         """Returns (names, values): per-class AP then overall mAP."""
         classes = sorted(set(self._records) | set(self._npos))
