@@ -1,6 +1,6 @@
 # Developer entry points (see README.md).
 
-.PHONY: test test-fast test-unit bench native sanitize overfit chipsession clean
+.PHONY: test test-fast test-unit bench native sanitize overfit chipsession chipwait clean
 
 test:
 	python -m pytest tests/ -x -q
@@ -20,6 +20,13 @@ bench:
 # per-step logs that survive a mid-session tunnel drop
 chipsession:
 	bash tools/chip_session.sh
+
+# background tunnel watcher: probes backend init every 10 min and runs
+# the chip session unattended on the first successful probe
+chipwait:
+	nohup bash tools/chip_wait.sh /tmp/chip_session_auto \
+	  >/tmp/chipwait.out 2>&1 & echo $$! > /tmp/chipwait.pid; \
+	echo "watcher pid $$(cat /tmp/chipwait.pid); probes -> /tmp/chip_session_auto/probes.log"
 
 # full on-chip validation ladder (run when the TPU tunnel is up):
 # parity gates first, compact-kernel timing, then the headline bench.
