@@ -116,15 +116,80 @@ def test_darknet_weights_rejects_mismatched_file(tmp_path):
         read_darknet_weights(path, specs)
 
 
+def test_darknet_weights_truncation_names_the_tensor(tmp_path):
+    """A file cut inside a BN block must error on THAT tensor (advisor
+    r4: a short gamma surfacing later as 'truncated at conv weight'
+    points debugging at the wrong layer)."""
+    from tools.darknet_weights import conv_layer_specs, read_darknet_weights
+
+    module = YOLOv3(num_classes=3, backbone="tiny", policy=FLOAT32_POLICY)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = module.init(jax.random.key(4), x, train=False)
+    specs = conv_layer_specs(v["params"])
+
+    # conv 0 is BN'd with `o` output channels: beta reads fully, gamma is cut
+    o = specs[0][0][0]
+    path = str(tmp_path / "cut.weights")
+    with open(path, "wb") as f:
+        np.asarray([0, 2, 0], np.int32).tofile(f)
+        np.asarray([0], np.int64).tofile(f)
+        np.zeros(o + o // 2, np.float32).tofile(f)  # beta + half of gamma
+    import pytest
+
+    with pytest.raises(ValueError, match=r"conv 0 BN gamma"):
+        read_darknet_weights(path, specs)
+
+
 import pytest as _pytest
+
+
+def yolov3_cfg_conv_specs():
+    """((out, in, k, k), has_bias) for yolov3.cfg's 75 convs, in FILE order.
+
+    Transcribed from the official cfg structure (darknet53 backbone;
+    per scale: 5-conv block, tip, linear output conv; 1x1 lateral +
+    upsample between scales), INDEPENDENT of this repo's module tree —
+    so a construction-order drift in models/yolo3.py fails here locally
+    without needing the official yolov3.weights file.
+    """
+    specs = []
+
+    def conv(o, i, k, bias=False):
+        specs.append(((o, i, k, k), bias))
+
+    conv(32, 3, 3)
+    in_c = 32
+    for out_c, blocks in [(64, 1), (128, 2), (256, 8), (512, 8), (1024, 4)]:
+        conv(out_c, in_c, 3)  # stride-2 downsample
+        for _ in range(blocks):
+            conv(out_c // 2, out_c, 1)
+            conv(out_c, out_c // 2, 3)
+        in_c = out_c
+
+    def scale(in_c, mid):
+        conv(mid, in_c, 1)
+        conv(mid * 2, mid, 3)
+        conv(mid, mid * 2, 1)
+        conv(mid * 2, mid, 3)
+        conv(mid, mid * 2, 1)
+        conv(mid * 2, mid, 3)  # tip
+        conv(255, mid * 2, 1, bias=True)  # 3 anchors * (5 + 80 classes)
+
+    scale(1024, 512)
+    conv(256, 512, 1)  # lateral into scale 2
+    scale(256 + 512, 256)  # upsampled lateral + stage-4 route
+    conv(128, 256, 1)  # lateral into scale 3
+    scale(128 + 256, 128)  # upsampled lateral + stage-3 route
+    return specs
 
 
 @_pytest.mark.slow
 def test_darknet_weights_roundtrip_darknet53(tmp_path):
     """Full-size check: the 75-conv darknet53+head interleave (backbone,
     per-scale 5-conv blocks, tips, biased output convs, lateral convs
-    between scales) survives export -> import bit-exactly.  Slow: one
-    full model init on CPU."""
+    between scales) survives export -> import bit-exactly, and the
+    construction-order spec list equals the hard-coded yolov3.cfg
+    sequence layer by layer.  Slow: one full model init on CPU."""
     from tools.darknet_weights import (
         conv_layer_specs,
         read_darknet_weights,
@@ -137,6 +202,7 @@ def test_darknet_weights_roundtrip_darknet53(tmp_path):
     v = module.init(jax.random.key(5), x, train=False)
 
     specs = conv_layer_specs(v["params"])
+    assert specs == yolov3_cfg_conv_specs()  # full per-layer cfg-order pin
     assert len(specs) == 75  # yolov3.cfg conv count
     assert sum(1 for _, has_bias in specs if has_bias) == 3  # output convs
 

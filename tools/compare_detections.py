@@ -37,7 +37,16 @@ def load(path):
 
 
 def match_image(a, b, score_atol, box_atol):
-    """Greedy set match: returns (unmatched_a, unmatched_b, order_equal)."""
+    """Greedy set match: returns (unmatched_a, unmatched_b, order_equal).
+
+    A-detections are processed in descending-score order and each takes the
+    NEAREST in-tolerance B-candidate (min score gap, then min box gap) of
+    its class, not the first — so an A-det cannot casually consume the only
+    B-det a later near-identical A-det could match.  Greedy nearest-first
+    is still not an optimal assignment, so with nonzero tolerances the
+    result is conservative: it may over-report divergence in adversarial
+    tie layouts, never under-report (at atol=0 matching is exact).
+    """
     da = list(zip(a["ids"], a["scores"], a["boxes"]))
     db = list(zip(b["ids"], b["scores"], b["boxes"]))
     order_equal = len(da) == len(db) and all(
@@ -47,16 +56,19 @@ def match_image(a, b, score_atol, box_atol):
     )
     used = [False] * len(db)
     unmatched_a = 0
-    for ia, sa, ba in da:
-        hit = -1
+    for ia, sa, ba in sorted(da, key=lambda d: -d[1]):
+        best, best_key = -1, None
         for j, (ib, sb, bb) in enumerate(db):
             if used[j] or ia != ib or abs(sa - sb) > score_atol:
                 continue
-            if all(abs(x - y) <= box_atol for x, y in zip(ba, bb)):
-                hit = j
-                break
-        if hit >= 0:
-            used[hit] = True
+            gaps = [abs(x - y) for x, y in zip(ba, bb)]
+            if max(gaps, default=0.0) > box_atol:
+                continue
+            key = (abs(sa - sb), max(gaps, default=0.0))
+            if best < 0 or key < best_key:
+                best, best_key = j, key
+        if best >= 0:
+            used[best] = True
         else:
             unmatched_a += 1
     return unmatched_a, used.count(False), order_equal
@@ -70,6 +82,10 @@ def main(argv=None):
                    help="score tolerance (0 = bit-for-bit after JSON round-trip)")
     p.add_argument("--atol", type=float, default=0.0,
                    help="box-coordinate tolerance in pixels")
+    p.add_argument("--strict-order", action="store_true",
+                   help="exit 1 on order-only mismatches too (use for the "
+                        "same-framework byte-identity contract, where "
+                        "detector output order is part of the guarantee)")
     p.add_argument("--verbose", action="store_true",
                    help="print one line per diverging image")
     args = p.parse_args(argv)
@@ -110,6 +126,8 @@ def main(argv=None):
         and not only_a and not only_b,
     }
     print(json.dumps(summary))
+    if args.strict_order and order_only:
+        return 1
     return 1 if (diverged or only_a or only_b) else 0
 
 

@@ -71,6 +71,21 @@ def conv_layer_specs(params) -> List[Tuple[Tuple[int, int, int, int], bool]]:
     return specs
 
 
+def _read_exact(f, n: int, what: str) -> np.ndarray:
+    """Read exactly ``n`` float32s or fail naming the tensor that was short.
+
+    A file truncated inside a BN block must error on THAT tensor, not
+    surface later as a misleading conv-weight message.
+    """
+    a = np.fromfile(f, np.float32, n)
+    if a.size != n:
+        raise ValueError(
+            f"truncated file at {what}: wanted {n} floats, got {a.size} — "
+            "layer order/shape mismatch between the file and this model"
+        )
+    return a
+
+
 def read_darknet_weights(path: str, specs) -> List[Tuple[str, np.ndarray]]:
     """Parse a .weights file into (name, array) items in file order.
 
@@ -84,24 +99,22 @@ def read_darknet_weights(path: str, specs) -> List[Tuple[str, np.ndarray]]:
         np.fromfile(f, np.int64 if transposed else np.int32, 1)  # seen
         for li, ((o, i, kh, kw), has_bias) in enumerate(specs):
             if has_bias:
-                items.append((f"layer{li}.bias", np.fromfile(f, np.float32, o)))
+                items.append(
+                    (f"layer{li}.bias",
+                     _read_exact(f, o, f"conv {li} bias"))
+                )
             else:
-                items.append((f"layer{li}.beta", np.fromfile(f, np.float32, o)))
-                items.append((f"layer{li}.gamma", np.fromfile(f, np.float32, o)))
-                items.append(
-                    (f"layer{li}.running_mean", np.fromfile(f, np.float32, o))
-                )
-                items.append(
-                    (f"layer{li}.running_var", np.fromfile(f, np.float32, o))
-                )
+                for tag, name in (("beta", "beta"), ("gamma", "gamma"),
+                                  ("running_mean", "mean"),
+                                  ("running_var", "var")):
+                    items.append(
+                        (f"layer{li}.{tag}",
+                         _read_exact(f, o, f"conv {li} BN {name}"))
+                    )
             n = o * i * kh * kw
-            w = np.fromfile(f, np.float32, n)
-            if w.size != n:
-                raise ValueError(
-                    f"truncated file at conv layer {li}: wanted {n} weight "
-                    f"floats for OIHW {(o, i, kh, kw)}, got {w.size} — layer "
-                    "order/shape mismatch between the file and this model"
-                )
+            w = _read_exact(
+                f, n, f"conv {li} weight (OIHW {(o, i, kh, kw)})"
+            )
             items.append((f"layer{li}.weight", w.reshape(o, i, kh, kw)))
         leftover = np.fromfile(f, np.float32)
     if leftover.size:

@@ -215,9 +215,20 @@ def _select_kernel(g: int, r: int, k: int):
 
 def _group_size(b: int, k: int, r: int) -> int:
     """Images per grid step: largest divisor of B in {8,4,2,1} whose
-    one-hot searchsorted matrix (G*k x G*R) stays comfortably in VMEM."""
+    intermediates stay comfortably in VMEM.
+
+    Two quadratic families are budgeted (advisor r4): the one-hot
+    searchsorted matrix (G*k x G*R) and the global-row scan matrices —
+    ``strict_bd`` plus the iota/compare temps it is built from, all
+    (G*R)^2.  The temps are an elementwise chain the compiler can fuse
+    into the ``strict_bd`` materialization, so we charge 3 live f32
+    buffers (strict_bd + ~2 unfused temps), not the 5 in the source.
+    At the det/dense width (r=250, g=4 -> 1000x1000) that is the ~12MB
+    the old estimate ignored; g drops to 2 there."""
     for g in (8, 4, 2, 1):
-        if b % g == 0 and g * k * g * r * 4 <= 16 * 1024 * 1024:
+        onehot = g * k * g * r * 4
+        scan = 3 * (g * r) * (g * r) * 4
+        if b % g == 0 and onehot + scan <= 16 * 1024 * 1024:
             return g
     return 1
 
