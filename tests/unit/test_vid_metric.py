@@ -42,6 +42,148 @@ def test_window_limits():
     assert ious[0][0] == 1.0 and ious[20][0] == 1.0
 
 
+def test_window_boundary_inclusive():
+    """Frames at EXACTLY ±motion_window are inside the window; ±(window+1)
+    are not (VERDICT r4 item 8: boundary property)."""
+    w = 10
+    # track present only at t=0 and t=w: both contribute to each other
+    labels = [make_label([]) for _ in range(w + 2)]
+    box_a = [0, 0, 30, 30, 0, 0, 7]
+    box_b = [15, 0, 45, 30, 0, 0, 7]  # IoU with box_a = 15*30/(2*900-450)=1/3
+    labels[0] = make_label([box_a])
+    labels[w] = make_label([box_b])
+    ious = compute_motion_ious(labels, motion_window=w)
+    np.testing.assert_allclose(ious[0][0], 1.0 / 3.0, rtol=1e-6)
+    np.testing.assert_allclose(ious[w][0], 1.0 / 3.0, rtol=1e-6)
+    # one frame further apart: outside the window, defaults to 1.0 (slow)
+    labels2 = [make_label([]) for _ in range(w + 2)]
+    labels2[0] = make_label([box_a])
+    labels2[w + 1] = make_label([box_b])
+    ious2 = compute_motion_ious(labels2, motion_window=w)
+    assert ious2[0][0] == 1.0 and ious2[w + 1][0] == 1.0
+
+
+def test_single_frame_track_defaults_slow():
+    """A track that exists in exactly one frame has no neighbors: motion
+    IoU defaults to 1.0 (slow), even with other tracks around it."""
+    labels = [
+        make_label([[10, 10, 50, 50, 0, 0, 0]]),
+        make_label([[10, 10, 50, 50, 0, 0, 0], [200, 200, 230, 230, 1, 0, 5]]),
+        make_label([[10, 10, 50, 50, 0, 0, 0]]),
+    ]
+    ious = compute_motion_ious(labels)
+    assert ious[1][1] == 1.0  # the single-frame track
+    assert ious[1][0] == 1.0  # static neighbor unaffected
+
+
+def test_hand_computed_motion_values_and_bins():
+    """Hand-computed 5-frame fixture: a 30px box stepping 2px/frame.
+
+    IoU between frames d*1 steps apart is (30-2d)/(30+2d); every frame's
+    mean lands in (0.7, 0.9] -> the whole track is MEDIUM.  Values are
+    pinned exactly, not just binned."""
+    def box(t):
+        return [2.0 * t, 0, 30 + 2.0 * t, 30, 0, 0, 0]
+
+    labels = [make_label([box(t)]) for t in range(5)]
+    ious = compute_motion_ious(labels, motion_window=10)
+
+    def pair(d):
+        return (30.0 - 2 * d) / (30.0 + 2 * d)
+
+    for t in range(5):
+        expected = np.mean([pair(abs(t - u)) for u in range(5) if u != t])
+        np.testing.assert_allclose(ious[t][0], expected, rtol=1e-6)
+        lo, hi = MOTION_BINS["medium"]
+        assert lo < ious[t][0] <= hi, (t, ious[t][0])
+
+
+class _FakeVidDataset:
+    """Dataset surface for VIDDetectionMetric: explicit snippets/items.
+
+    Mirrors ImageNetVidDetection's contract: ``snippet_labels`` returns the
+    FULL snippet regardless of item window/stride; items map to (snippet,
+    key-frame position)."""
+
+    def __init__(self, snippets, items=None):
+        self.classes = ("car", "dog")
+        self._snippets = snippets  # list of list-of-labels
+        self._items = items or [
+            (si, pos)
+            for si, frames in enumerate(snippets)
+            for pos in range(len(frames))
+        ]
+
+    def __len__(self):
+        return len(self._items)
+
+    def label(self, idx):
+        si, pos = self._items[idx]
+        return self._snippets[si][pos][:, :6]
+
+    def snippet_and_position(self, idx):
+        return self._items[idx]
+
+    def snippet_labels(self, si):
+        return self._snippets[si]
+
+
+def test_trackid_reuse_across_snippets_does_not_mix():
+    """trackid 0 appears in two snippets: a static track in snippet A and a
+    fast track in snippet B.  Motion is per-snippet — A stays slow, B stays
+    fast; merged tracks would corrupt both."""
+    from viddet_tpu.eval.vid_motion_iou import VIDDetectionMetric
+
+    snip_a = [make_label([[10, 10, 40, 40, 0, 0, 0]]) for _ in range(4)]
+    snip_b = [
+        make_label([[10 + 25 * t, 100, 40 + 25 * t, 130, 0, 0, 0]])
+        for t in range(4)
+    ]
+    ds = _FakeVidDataset([snip_a, snip_b])
+    metric = VIDDetectionMetric(ds)
+    for i in range(len(ds)):
+        gt = ds.label(i)
+        metric.update_with_indices(
+            gt[None, :, :4], gt[None, :, 4], np.asarray([[0.9]], np.float32),
+            [i],
+        )
+    result = dict(zip(*metric.get()))
+    # perfect detections on both: slow bin sees only snippet A's GT (B's
+    # fast GT is ignore there) and vice versa -> both bins at mAP 1.0
+    assert result["mAP(slow)"] == 1.0
+    assert result["mAP(fast)"] == 1.0
+    assert result["mAP"] == 1.0
+
+
+def test_strided_items_use_full_snippet_motion():
+    """window/stride sampling drops boundary key frames from the item list,
+    but motion IoU must still come from the FULL snippet (the protocol is
+    defined on the video, not on the sampled clip grid)."""
+    from viddet_tpu.eval.vid_motion_iou import VIDDetectionMetric
+
+    # 7 frames stepping 2px (medium, from the hand-computed fixture above)
+    def box(t):
+        return [2.0 * t, 0, 30 + 2.0 * t, 30, 0, 0, 0]
+
+    snippet = [make_label([box(t)]) for t in range(7)]
+    # window=3, stride=2 -> valid key positions 2..4 only
+    strided_items = [(0, pos) for pos in (2, 3, 4)]
+    full = _FakeVidDataset([snippet])
+    strided = _FakeVidDataset([snippet], items=strided_items)
+
+    m_full = VIDDetectionMetric(full)
+    m_str = VIDDetectionMetric(strided)
+    # the strided metric's per-frame motion must equal the full dataset's
+    # at the same key frames
+    for item_idx, pos in zip(range(3), (2, 3, 4)):
+        si, p = strided.snippet_and_position(item_idx)
+        assert (si, p) == (0, pos)
+        np.testing.assert_array_equal(
+            m_str._frame_motion_ious(item_idx),
+            m_full._frame_motion_ious(pos),
+        )
+
+
 def test_vid_metric_end_to_end(tmp_path):
     """Full metric over a fixture dataset with perfect detections."""
     import os
