@@ -113,7 +113,12 @@ def _compact_kernel(g, k, post):
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (g, K) inclusive counts
-        iota_post = jax.lax.broadcasted_iota(jnp.float32, (post, k), 0)
+        # Mosaic rejects float iota ('tpu.iota' must produce integers —
+        # found by the first on-chip compile, round 5); int iota + convert
+        # lowers fine and the f32 values are exact for post <= 2^24.
+        iota_post = jax.lax.broadcasted_iota(jnp.int32, (post, k), 0).astype(
+            jnp.float32
+        )
         for gi in range(g):
             keep_row = keep_ref[gi : gi + 1, :]  # (1, K) 0/1 f32
             slot_row = pos[gi : gi + 1, :] - 1.0  # (1, K)
