@@ -217,10 +217,12 @@ def _nms_on_candidates(cand_boxes, top_scores, cls_idx, valid, iou_thresh, post_
         )
         # Keep the whole tail on-chip: compaction as exact MXU matmuls
         # (bit-identical to _compact_and_pad — see nms_pallas._compact_kernel).
-        # On hardware the kernel is gated by VIDDET_COMPACT_KERNEL until its
-        # first on-chip compile+parity run (Mosaic acceptance is not provable
-        # from interpret mode; tools/tpu_parity_check.py flips the evidence).
-        if interp or os.environ.get("VIDDET_COMPACT_KERNEL", "0") == "1":
+        # Default ON since the round-5 chip session: parity passes on
+        # hardware and it wins both the variant trace (0.299 vs 0.531 ms)
+        # and the headline bench (2042.3 vs 2039.3 fps) — see
+        # docs/perf_notes.md.  VIDDET_COMPACT_KERNEL=0 restores the XLA
+        # tail (chip-down debugging / A-B timing).
+        if interp or os.environ.get("VIDDET_COMPACT_KERNEL", "1") == "1":
             return compact_and_pad_pallas(
                 keep, top_scores, cls_idx, cand_boxes, post_nms, interpret=interp
             )
