@@ -14,11 +14,12 @@ import json
 import os
 import time
 
-# TPU compiler tuning: a 64 MiB scoped-VMEM budget lets the conv fusions use
-# larger tiles (+3-4% sustained fps on v5e, measured; 96 MiB regresses).
-# Must be set before the first backend initialization.
+# TPU compiler tuning: a 72 MiB scoped-VMEM budget lets the conv fusions use
+# larger tiles. Re-swept round 5 with the final (compact-promoted) program:
+# 72 MiB 2054.7-2062.3 fps vs 64 MiB 2047.3-2048.3, 56 MiB 2042.8, 80 MiB
+# 2012.2 (docs/perf_notes.md). Must be set before backend initialization.
 if "LIBTPU_INIT_ARGS" not in os.environ:
-    os.environ["LIBTPU_INIT_ARGS"] = "--xla_tpu_scoped_vmem_limit_kib=65536"
+    os.environ["LIBTPU_INIT_ARGS"] = "--xla_tpu_scoped_vmem_limit_kib=73728"
 
 import sys
 

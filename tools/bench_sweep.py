@@ -58,7 +58,7 @@ def main(argv=None):
                    help="3-point sweep instead of the full grid")
     p.add_argument("--batches", default="64,128,256")
     p.add_argument("--topks", default="256,400")
-    p.add_argument("--vmem", default="65536,98304")
+    p.add_argument("--vmem", default="65536,73728,98304")
     p.add_argument("--shapes", default="",
                    help="comma list, e.g. 320,416,608: sweep input "
                         "resolution at batch 128 instead of the "
