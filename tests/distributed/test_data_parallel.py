@@ -10,6 +10,7 @@ serial computation.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from viddet_tpu.core.precision import FLOAT32_POLICY
 from viddet_tpu.models.yolo3 import YOLOv3
@@ -18,8 +19,7 @@ from viddet_tpu.train.loop import make_train_step
 from viddet_tpu.train.state import TrainState, make_lr_schedule, make_optimizer
 
 
-def test_sharded_step_matches_single_device():
-    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+def _yolo_setup():
     module = YOLOv3(num_classes=3, backbone="tiny", policy=FLOAT32_POLICY)
     size, batch = 64, 8
     x_init = jnp.zeros((batch, size, size, 3), jnp.float32)
@@ -47,22 +47,40 @@ def test_sharded_step_matches_single_device():
             tx=tx,
         )
 
+    return step, fresh_state, (images, gt_boxes, gt_ids)
+
+
+def test_yolo_step_contains_allreduce():
+    """Fast-suite DP gate: the GSPMD-partitioned train step must carry a
+    cross-device all-reduce (the KVStore/NCCL equivalent).  Same
+    compile-gate/slow-equality-twin split as the SSD/FRCNN families:
+    sharded-step EXECUTION runs every driver round via dryrun_multichip,
+    and the exact-equality twin below runs in `make test`."""
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    step, fresh_state, batch = _yolo_setup()
+    mesh = make_mesh()
+    state = jax.tree.map(lambda x: jax.device_put(x, replicate(mesh)), fresh_state())
+    sharded = put_batch(batch, mesh)
+    hlo = step.lower(state, *sharded).compile().as_text()
+    assert "all-reduce" in hlo, "no cross-device reduction in the DP step"
+
+
+@pytest.mark.slow
+def test_sharded_step_matches_single_device():
+    """slow: two tiny-YOLO train-step compiles on the 8-device CPU mesh
+    (~60s on 1 core); the fast suite keeps the compile-gate above."""
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    step, fresh_state, (images, gt_boxes, gt_ids) = _yolo_setup()
+
     # (a) single device
     state_a, losses_a = step(fresh_state(), images, gt_boxes, gt_ids)
 
     # (b) batch sharded over the 8-device data mesh, state replicated.
-    # The one sharded compile also serves the partitioned-HLO assertion:
-    # the GSPMD step must carry a cross-device all-reduce (the
-    # KVStore/NCCL equivalent).
     mesh = make_mesh()
     rep = replicate(mesh)
     state_b = jax.tree.map(lambda x: jax.device_put(x, rep), fresh_state())
     sharded = put_batch((images, gt_boxes, gt_ids), mesh)
-    compiled = step.lower(state_b, *sharded).compile()
-    assert "all-reduce" in compiled.as_text(), (
-        "no cross-device reduction in the DP step"
-    )
-    state_b, losses_b = compiled(state_b, *sharded)
+    state_b, losses_b = step(state_b, *sharded)
 
     np.testing.assert_allclose(
         float(losses_a["total"]), float(losses_b["total"]), rtol=1e-5

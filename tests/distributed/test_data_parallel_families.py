@@ -90,16 +90,30 @@ def _assert_flip_bounded(state_a, state_b, max_frac=0.02):
     )
 
 
-def _ssd_setup():
-    module = S.SSD(num_classes=2, image_size=SIZE, policy=FLOAT32_POLICY)
+# Shallow-backbone stages for the COMPILE-ONLY fast gates: the HLO
+# all-reduce assertion proves the family's DP wiring (loss, matching,
+# OHEM / RPN+ROI sampling all stay in the graph) and is depth-agnostic,
+# while a full R50 compile costs ~70s/family on 1 CPU core.  The slow
+# equality twins keep the real R50 (SyncBN-flip analysis depends on it).
+SHALLOW = dict(backbone_blocks=(1, 1, 1, 1), backbone_widths=(8, 16, 32, 64))
+
+
+def _ssd_setup(shallow=False):
+    module = S.SSD(
+        num_classes=2, image_size=SIZE, policy=FLOAT32_POLICY,
+        **(SHALLOW if shallow else {}),
+    )
     variables = module.init(
         jax.random.key(0), jnp.zeros((2, SIZE, SIZE, 3)), train=True
     )
     return module, _fresh_factory(variables), make_ssd_train_step(module)
 
 
-def _frcnn_setup():
-    module = F.FasterRCNN(num_classes=2, config=TINY_CFG, policy=FLOAT32_POLICY)
+def _frcnn_setup(shallow=False):
+    module = F.FasterRCNN(
+        num_classes=2, config=TINY_CFG, policy=FLOAT32_POLICY,
+        **(SHALLOW if shallow else {}),
+    )
     variables = module.init(
         {"params": jax.random.key(0), "sampling": jax.random.key(1)},
         jnp.zeros((2, SIZE, SIZE, 3)),
@@ -140,7 +154,7 @@ def test_ssd_step_contains_allreduce():
     all-reduce assertion.  EXECUTION of the sharded step is covered every
     driver round by the all-family dryrun_multichip and by the slow
     equality twin (executing here costs ~20s more on 1 CPU core)."""
-    _, fresh, step = _ssd_setup()
+    _, fresh, step = _ssd_setup(shallow=True)
     images, gt_boxes, gt_ids = _batch(1)
     mesh = make_mesh()
     state = jax.tree.map(lambda a: jax.device_put(a, replicate(mesh)), fresh())
@@ -179,7 +193,7 @@ def test_frcnn_sharded_step_matches_single_device():
 
 def test_frcnn_step_contains_allreduce():
     """Fast-suite family-DP gate (see the SSD twin's docstring)."""
-    _, fresh, step = _frcnn_setup()
+    _, fresh, step = _frcnn_setup(shallow=True)
     images, gt_boxes, gt_ids = _batch(3)
     mesh = make_mesh()
     rep = replicate(mesh)

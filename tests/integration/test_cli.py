@@ -239,10 +239,16 @@ def test_evaluate_cli_combined_dataset(tmp_path, caplog):
     assert any("mAP" in r.message for r in caplog.records)
 
 
+@pytest.mark.slow
 def test_train_cli_temporal_on_combined_still_dataset(tmp_path, caplog):
     """Temporal k-frame training over a combined dataset whose members are
     still images: stills are tiled into static clips (reference DET+VID
-    temporal semantics, SURVEY.md §4.5)."""
+    temporal semantics, SURVEY.md §4.5).
+
+    slow: compiles a k-frame temporal train step in-process (~34s on 1
+    CPU core).  Fast-suite temporal coverage: the gradient-flow unit test,
+    the temporal multistream/detect/evaluate CLI tests; fast-suite
+    combined-dataset coverage: the combined evaluate CLI test."""
     from viddet_tpu.cli.train_yolov3 import main
 
     main([
@@ -269,9 +275,14 @@ def test_evaluate_cli_temporal_on_combined_still_dataset(caplog):
     assert any("mAP" in r.message for r in caplog.records)
 
 
+@pytest.mark.slow
 def test_train_cli_from_packed_shards(tmp_path, caplog):
     """'--dataset packed --data-root <prefix>' trains from .vdtp shards
-    (the RecordIO-equivalent fast path, SURVEY.md §3.2 N12)."""
+    (the RecordIO-equivalent fast path, SURVEY.md §3.2 N12).
+
+    slow: a full train-CLI run over .vdtp shards (~24s on 1 CPU core,
+    compile-bound).  Fast-suite packed coverage: test_packed.py round-trip
+    units + the packed DetectionLoader test."""
     import cv2
 
     from viddet_tpu.data.packed import pack_dataset

@@ -9,19 +9,34 @@ from viddet_tpu.train.loop import make_train_step
 from viddet_tpu.train.state import TrainState, make_optimizer, make_lr_schedule
 
 
-def tiny_setup(num_classes=3, size=64, lr=1e-3):
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _shared(num_classes=3, size=64, lr=1e-3):
+    """One module init + ONE jitted step per (classes, size, lr) for the
+    whole module: the jit cache keys on the step closure AND the state's
+    static tx (optax instances compare by identity), so tests that rebuilt
+    both paid a fresh ~10s CPU compile each."""
     module = YOLOv3(num_classes=num_classes, backbone="tiny", policy=FLOAT32_POLICY)
     x = jnp.zeros((2, size, size, 3), jnp.float32)
     variables = module.init(jax.random.key(0), x, train=True)
     tx = make_optimizer(make_lr_schedule(lr, steps_per_epoch=1), weight_decay=0.0)
-    state = TrainState.create(
-        params=variables["params"], batch_stats=variables["batch_stats"], tx=tx
-    )
     step = make_train_step(
         module,
         strides=(32, 16),
         anchors=(((40, 40), (24, 48), (48, 24)), ((10, 10), (16, 8), (8, 16))),
         num_classes=num_classes,
+    )
+    return module, variables, tx, step
+
+
+def tiny_setup(num_classes=3, size=64, lr=1e-3):
+    module, variables, tx, step = _shared(num_classes, size, lr)
+    state = TrainState.create(
+        params=jax.tree.map(jnp.copy, variables["params"]),
+        batch_stats=jax.tree.map(jnp.copy, variables["batch_stats"]),
+        tx=tx,
     )
     return module, state, step
 

@@ -92,9 +92,18 @@ def test_sample_rois_composition():
         assert pos_idx.max() == len(pos_idx) - 1
 
 
+# Shallow backbone for structural/parity unit tests: the gated properties
+# (shapes, finite losses, ROI-backend parity) are depth-agnostic, and a
+# full R50 compile costs ~25s/graph on 1 CPU core.  Full-depth coverage
+# stays in the slow train-loss/overfit/DP-equality gates.
+SHALLOW = dict(backbone_blocks=(1, 1, 1, 1), backbone_widths=(8, 16, 32, 64))
+
+
 @pytest.mark.parametrize("train", [False, True])
 def test_frcnn_forward(train):
-    module = F.FasterRCNN(num_classes=3, config=TINY_CFG, policy=FLOAT32_POLICY)
+    module = F.FasterRCNN(
+        num_classes=3, config=TINY_CFG, policy=FLOAT32_POLICY, **SHALLOW
+    )
     x = jnp.zeros((1, 128, 128, 3), jnp.float32)
     gt = jnp.asarray([[[10, 10, 60, 60], [-1, -1, -1, -1]]], jnp.float32)
     ids = jnp.asarray([[1, -1]], jnp.int32)
@@ -169,7 +178,9 @@ def test_frcnn_roi_backend_pallas_matches_xla():
         import dataclasses
 
         cfg = dataclasses.replace(TINY_CFG, roi_backend=roi_backend)
-        module = F.FasterRCNN(num_classes=3, config=cfg, policy=FLOAT32_POLICY)
+        module = F.FasterRCNN(
+            num_classes=3, config=cfg, policy=FLOAT32_POLICY, **SHALLOW
+        )
         variables = module.init(
             {"params": jax.random.key(0), "sampling": jax.random.key(1)},
             x, train=False,

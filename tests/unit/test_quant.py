@@ -148,8 +148,11 @@ def test_quantized_ssd_resnet_close_to_float_twin():
     logits track the float twin's."""
     from viddet_tpu.models.ssd import SSD
 
-    f_module = SSD(num_classes=3, image_size=128, policy=FLOAT32_POLICY)
-    q_module = SSD(num_classes=3, image_size=128, policy=F32_INT8)
+    # shallow backbone: the PTQ flow through ResNet's _ConvBN (BN folding,
+    # per-channel scales, requant epilogues) is identical at any depth
+    shallow = dict(backbone_blocks=(1, 1, 1, 1), backbone_widths=(8, 16, 32, 64))
+    f_module = SSD(num_classes=3, image_size=128, policy=FLOAT32_POLICY, **shallow)
+    q_module = SSD(num_classes=3, image_size=128, policy=F32_INT8, **shallow)
     rng = np.random.default_rng(4)
     images = jnp.asarray(rng.uniform(0, 1, size=(1, 128, 128, 3)).astype(np.float32))
     variables = f_module.init(jax.random.key(0), images, train=False)

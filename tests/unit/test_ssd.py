@@ -57,7 +57,12 @@ def test_ssd_forward_and_loss_small():
     # 64px: the smallest size exercising the whole extras chain (c5 at
     # stride 32 is 2x2; the four stride-2 extras bottom out at 1x1) at
     # roughly a quarter of the 128px compile time on one CPU core
-    module = S.SSD(num_classes=3, image_size=64, policy=FLOAT32_POLICY)
+    # shallow backbone: the forward/loss/postprocess properties gated here
+    # are depth-agnostic; full-depth coverage stays in the slow gates
+    module = S.SSD(
+        num_classes=3, image_size=64, policy=FLOAT32_POLICY,
+        backbone_blocks=(1, 1, 1, 1), backbone_widths=(8, 16, 32, 64),
+    )
     x = jnp.zeros((2, 64, 64, 3), jnp.float32)
     variables = module.init(jax.random.key(0), x, train=True)
     out = module.apply(variables, x, train=False)

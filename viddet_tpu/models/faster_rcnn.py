@@ -196,6 +196,10 @@ class FasterRCNN(nn.Module):
     config: FRCNNConfig = FRCNNConfig()
     policy: Policy = DEFAULT_POLICY
     bn_axis_name: str | None = None
+    # Backbone stage overrides (None = ResNet-50); same RPN/FPN/ROI graph
+    # over a shallow ResNet for compile-bound CPU gates.
+    backbone_blocks: tuple | None = None
+    backbone_widths: tuple | None = None
 
     def _proposals(self, objs, deltas, anchor_parts, image_hw, post_nms):
         """Static-shape proposal generation. Returns (B, post_nms, 4) + valid."""
@@ -279,6 +283,10 @@ class FasterRCNN(nn.Module):
     ) -> Dict[str, Any]:
         cfg = self.config
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name)
+        if self.backbone_blocks is not None:
+            kw["BLOCKS"] = self.backbone_blocks
+        if self.backbone_widths is not None:
+            kw["WIDTHS"] = self.backbone_widths
         c2345 = ResNet50(**kw)(x, train)
         pyramid = FPN(policy=self.policy)(c2345)
         objs, deltas = RPNHead(policy=self.policy)(pyramid)

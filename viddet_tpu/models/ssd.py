@@ -98,11 +98,21 @@ class SSD(nn.Module):
     image_size: int = 512
     policy: Policy = DEFAULT_POLICY
     bn_axis_name: str | None = None
+    # Backbone stage overrides (None = ResNet-50). Lets tests and small
+    # deployments run the SAME SSD graph (anchors, matching, OHEM, NMS)
+    # over a shallow ResNet — compile-bound CPU gates use (1,1,1,1).
+    backbone_blocks: tuple | None = None
+    backbone_widths: tuple | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name)
+        if self.backbone_blocks is not None:
+            kw["BLOCKS"] = self.backbone_blocks
+        if self.backbone_widths is not None:
+            kw["WIDTHS"] = self.backbone_widths
         feats = ResNet50(**kw)(x, train)[1:]  # c3, c4, c5
+        kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name)
         y = feats[-1]
         extras = []
         for ch in (512, 256, 256, 256):
