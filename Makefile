@@ -1,6 +1,6 @@
 # Developer entry points (see README.md).
 
-.PHONY: test test-fast test-unit bench native sanitize overfit chipsession chipwait clean
+.PHONY: test test-fast test-unit bench native sanitize overfit chipsession chipwait benchwait clean
 
 test:
 	python -m pytest tests/ -x -q
@@ -27,6 +27,13 @@ chipwait:
 	nohup bash tools/chip_wait.sh /tmp/chip_session_auto \
 	  >/tmp/chipwait.out 2>&1 & echo $$! > /tmp/chipwait.pid; \
 	echo "watcher pid $$(cat /tmp/chipwait.pid); probes -> /tmp/chip_session_auto/probes.log"
+
+# lighter watcher for AFTER an adjudication has landed: on first
+# successful probe, re-confirm the promoted headline config (bench.py x3)
+benchwait:
+	nohup bash tools/bench_wait.sh /tmp/bench_wait \
+	  >/tmp/benchwait.out 2>&1 & echo $$! > /tmp/benchwait.pid; \
+	echo "watcher pid $$(cat /tmp/benchwait.pid); probes -> /tmp/bench_wait/probes.log"
 
 # full on-chip validation ladder (run when the TPU tunnel is up):
 # parity gates first, compact-kernel timing, then the headline bench.
