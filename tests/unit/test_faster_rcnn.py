@@ -1,3 +1,5 @@
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -99,8 +101,11 @@ def test_sample_rois_composition():
 SHALLOW = dict(backbone_blocks=(1, 1, 1, 1), backbone_widths=(8, 16, 32, 64))
 
 
-@pytest.mark.parametrize("train", [False, True])
-def test_frcnn_forward(train):
+@functools.lru_cache(maxsize=None)
+def _shallow_frcnn_init():
+    """One shallow module + ONE eager init for both forward
+    parametrizations (the init itself executes a full train-mode forward
+    op-by-op, ~10s on 1 CPU core)."""
     module = F.FasterRCNN(
         num_classes=3, config=TINY_CFG, policy=FLOAT32_POLICY, **SHALLOW
     )
@@ -111,6 +116,12 @@ def test_frcnn_forward(train):
         {"params": jax.random.key(0), "sampling": jax.random.key(1)},
         x, gt, ids, train=True,
     )
+    return module, variables, x, gt, ids
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_frcnn_forward(train):
+    module, variables, x, gt, ids = _shallow_frcnn_init()
     if train:
         out = module.apply(
             variables, x, gt, ids, train=True,

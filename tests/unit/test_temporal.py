@@ -28,9 +28,6 @@ def test_temporal_forward_shapes(aggregation):
 
 
 def test_temporal_train_gradients_flow():
-    from viddet_tpu.train.loop import make_train_step
-    from viddet_tpu.train.state import TrainState, make_lr_schedule, make_optimizer
-
     module = TemporalYOLOv3(
         num_classes=2, k=3, backbone="tiny", aggregation="mean",
         policy=FLOAT32_POLICY,
@@ -39,16 +36,6 @@ def test_temporal_train_gradients_flow():
         np.random.default_rng(0).uniform(0, 1, (2, 3, 64, 64, 3)), jnp.float32
     )
     variables = module.init(jax.random.key(0), clips, train=True)
-    tx = make_optimizer(make_lr_schedule(1e-3, 1), weight_decay=0.0)
-    state = TrainState.create(
-        params=variables["params"], batch_stats=variables["batch_stats"], tx=tx
-    )
-    step = make_train_step(
-        module,
-        strides=(32, 16),
-        anchors=(((40, 40), (24, 48), (48, 24)), ((10, 10), (16, 8), (8, 16))),
-        num_classes=2,
-    )
     gt_boxes = jnp.asarray([[[8.0, 8.0, 40.0, 48.0]], [[10.0, 10.0, 30.0, 30.0]]])
     gt_ids = jnp.asarray([[0], [1]], jnp.int32)
     # image_size for target assignment comes from images.shape[1:3]; for
@@ -58,7 +45,8 @@ def test_temporal_train_gradients_flow():
 
     def loss_fn(params):
         out = module.apply(
-            {"params": params, "batch_stats": state.batch_stats}, clips, train=False
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            clips, train=False,
         )
         return yolo_loss(
             out, gt_boxes, gt_ids, None,
@@ -68,7 +56,9 @@ def test_temporal_train_gradients_flow():
             num_classes=2,
         )["total"]
 
-    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    # jitted: eager op-by-op reverse-mode over the clip backbone costs
+    # ~20s of dispatch on 1 CPU core; one compile is ~3x faster
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
     assert np.isfinite(float(loss))
     gnorm = sum(float(jnp.sum(g**2)) for g in jax.tree.leaves(grads))
     assert gnorm > 0
