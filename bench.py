@@ -56,6 +56,70 @@ ITERS = 20
 INIT_RETRIES = 3
 INIT_BACKOFF_S = 30.0
 INIT_TIMEOUT_S = 120.0
+# When init HANGS (tunnel down), keep probing in subprocesses for up to this
+# long and re-exec on the first success — the axon tunnel flaps with ~15-min
+# up-windows (measured round 5), so a bounded wait often catches one.  0
+# disables (old behavior: fail fast after the 120s watchdog).
+TUNNEL_WAIT_S = float(os.environ.get("VIDDET_BENCH_TUNNEL_WAIT_S", "480"))
+PROBE_TIMEOUT_S = 75.0
+MAX_REEXECS = 2
+
+
+def _fail(error: str) -> None:
+    """The ONE structured-error JSON line, then hard exit (jax atexit hooks
+    could block on a wedged backend)."""
+    print(
+        json.dumps(
+            {
+                "metric": f"frames_per_sec_per_chip_yolov3_{SHAPE}_decode_to_boxes",
+                "error": error,
+            }
+        ),
+        flush=True,
+    )
+    os._exit(1)
+
+
+def _wait_for_tunnel_and_reexec() -> None:
+    """Recovery from a hung backend init: init is a latched per-process
+    singleton, so the only way to retry is a FRESH process.  Probe the
+    tunnel in subprocesses (bounded — a bare jax.devices() hangs forever
+    when it's down) and exec a new bench the moment one succeeds.  Probes
+    log to stderr; stdout stays reserved for the single JSON line."""
+    import subprocess
+
+    reexecs = int(os.environ.get("VIDDET_BENCH_REEXEC", "0"))
+    if TUNNEL_WAIT_S <= 0 or reexecs >= MAX_REEXECS:
+        _fail(
+            f"backend init hung >{INIT_TIMEOUT_S:.0f}s (TPU tunnel "
+            f"unreachable; reexecs={reexecs})"
+        )
+    deadline = time.monotonic() + TUNNEL_WAIT_S
+    while time.monotonic() < deadline:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=PROBE_TIMEOUT_S,
+                check=True,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            print(
+                f"bench: tunnel still down, retrying probe "
+                f"({deadline - time.monotonic():.0f}s left in window)",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(15.0)
+            continue
+        print("bench: tunnel returned — re-exec", file=sys.stderr, flush=True)
+        env = dict(os.environ, VIDDET_BENCH_REEXEC=str(reexecs + 1))
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    _fail(
+        f"backend init hung >{INIT_TIMEOUT_S:.0f}s and the tunnel stayed "
+        f"down through a {TUNNEL_WAIT_S:.0f}s probe window"
+    )
 
 
 def _init_backend_with_retry():
@@ -82,19 +146,10 @@ def _init_backend_with_retry():
         if "devices" in result:
             return result["devices"]
         if t.is_alive():
-            # Hung init: print the error line here and hard-exit — jax atexit
-            # hooks could themselves block on the wedged backend.
-            print(
-                json.dumps(
-                    {
-                        "metric": f"frames_per_sec_per_chip_yolov3_{SHAPE}_decode_to_boxes",
-                        "error": f"backend init hung >{INIT_TIMEOUT_S:.0f}s "
-                        "(TPU tunnel unreachable)",
-                    }
-                ),
-                flush=True,
-            )
-            os._exit(1)
+            # Hung init (tunnel down).  The latched singleton makes an
+            # in-process retry pointless; ride out the outage with bounded
+            # subprocess probes and re-exec, or fail with the error line.
+            _wait_for_tunnel_and_reexec()
         last = result.get("error")
         if attempt + 1 < INIT_RETRIES:
             time.sleep(INIT_BACKOFF_S)
