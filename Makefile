@@ -6,7 +6,7 @@ test:
 	python -m pytest tests/ -x -q
 
 # everything except @pytest.mark.slow (overfit gates, R50 equality) —
-# ~11 min on this 1-core box (compile-bound; measured r5: 234 tests,
+# ~11 min on this 1-core box (compile-bound; measured r5: 235 tests,
 # 11:09 quiet / 11:13 while a chip bench ran concurrently)
 test-fast:
 	python -m pytest tests/ -x -q -m "not slow"

@@ -92,6 +92,27 @@ def test_bench_cpu_smoke_prints_metric_json():
     assert payload["batch"] == 2 and "vs_baseline" not in payload  # 416-only
 
 
+def test_graft_entry_single_chip_traces():
+    """The driver's single-chip GRAFT check calls ``entry()`` and jits fn
+    on the real chip; gate the host-side half here (~30s on 1 CPU core):
+    entry() must import, init its params, and TRACE (``jax.eval_shape``,
+    no compile) with its own example_args, yielding the (scores, ids,
+    boxes) triple at the static post-NMS width.  Pins the conftest
+    pattern in-child: ``jax.config.update`` before backend init, since
+    the environment re-exports JAX_PLATFORMS=axon to every subprocess."""
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import __graft_entry__ as g\n"
+        "fn, args = g.entry()\n"
+        "out = jax.eval_shape(fn, *args)\n"
+        "print([tuple(x.shape) for x in jax.tree.leaves(out)])\n"
+    )
+    r = _run([sys.executable, "-c", code], {}, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "(4, 100)" in r.stdout and "(4, 100, 4)" in r.stdout
+
+
 @pytest.mark.slow
 def test_graft_entry_dryrun_multichip_yolo():
     """slow (~60s): the driver's MULTICHIP artifact — one DP train step on
