@@ -427,3 +427,134 @@ def test_fused_det_bit_exact_under_bf16_ties(monkeypatch):
     np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
     np.testing.assert_array_equal(np.asarray(sc_p), np.asarray(sc_x))
     np.testing.assert_array_equal(np.asarray(bx_p), np.asarray(bx_x))
+
+
+def _to_conv(cells, meta):
+    """Cell-layout raws -> the output convs' native 4-D (B, h, w, lanes)."""
+    return tuple(
+        r.reshape(r.shape[0], m[0] // m[1], m[1], r.shape[-1])
+        for r, m in zip(cells, meta)
+    )
+
+
+def _pad_space(meta):
+    """Real->padded flat-index map + padded per-scale meta (must mirror
+    ops/nms_gather_pallas._conv_dims: Wp = roundup(W, 8))."""
+    na = len(meta[0][3])
+    real_off, pad_off, spans = 0, 0, []
+    for cells, w, _st, _anc in meta:
+        h, wp = cells // w, -(-w // 8) * 8
+        spans.append((real_off, cells * na, w, wp, pad_off))
+        real_off += cells * na
+        pad_off += h * wp * na
+    def to_pad(i):
+        for r0, n_s, w, wp, p0 in spans:
+            if r0 <= i < r0 + n_s:
+                local = i - r0
+                cell, a = divmod(local, na)
+                gy, gx = divmod(cell, w)
+                return p0 + (gy * wp + gx) * na + a
+        raise AssertionError(i)
+    return to_pad, pad_off
+
+
+def test_conv_input_bit_exact():
+    """4-D conv-layout inputs (VIDDET_TAIL_INPUT=conv) must equal the
+    cell-layout path bitwise on EVERY kernel output.  The kernels run on
+    a PADDED cell space (Wp = roundup(W, 8), pad rows filled with -1e9 so
+    Mosaic can lower the sublane merge): scores map position-for-position
+    through the monotone real->padded index map with pad rows exactly
+    0.0, and the gather given padded indices returns bit-identical rows."""
+    from viddet_tpu.ops.nms_gather_pallas import anchor_scores
+
+    rng = np.random.default_rng(53)
+    for dtype in (jnp.bfloat16, jnp.float32):
+        cells, meta, consts, _flat = _make_scales(
+            rng, b=2, img=64, c=20, dtype=dtype
+        )
+        conv = _to_conv(cells, meta)
+        to_pad, n_pad = _pad_space(meta)
+        n = consts.shape[0]
+        pad_pos = np.array([to_pad(i) for i in range(n)])
+        for variant in ("slice", "masked"):
+            ref = np.asarray(
+                anchor_scores(
+                    tuple(cells), meta, interpret=True, variant=variant
+                )
+            )
+            out = np.asarray(
+                anchor_scores(conv, meta, interpret=True, variant=variant)
+            )
+            assert out.shape == (2, n_pad)
+            np.testing.assert_array_equal(ref, out[:, pad_pos])
+            mask = np.ones(n_pad, bool)
+            mask[pad_pos] = False
+            # pad rows must score EXACTLY 0.0 — the unselectability proof
+            np.testing.assert_array_equal(out[:, mask], 0.0)
+        k, m_, j = 40, 9, 5
+        a_idx = rng.integers(0, n, size=(2, k)).astype(np.int32)
+        a_idx_pad = jnp.asarray(np.vectorize(to_pad)(a_idx))
+        a_idx = jnp.asarray(a_idx)
+        for kw in (dict(), dict(extract_m=m_, hot_j=j)):
+            ref = gather_decode_pairs(
+                tuple(cells), a_idx, meta, interpret=True, **kw
+            )
+            out = gather_decode_pairs(
+                conv, a_idx_pad, meta, interpret=True, **kw
+            )
+            for rr, oo in zip(ref, out):
+                # every output (boxes, pair scores, v_m, i_m, hot rows,
+                # hot_idx) indexes classes or the k candidates — none is
+                # in cell space, so all must match bitwise
+                np.testing.assert_array_equal(np.asarray(rr), np.asarray(oo))
+
+
+def test_fused_late_decode_conv_input_matches_xla():
+    """End-to-end fused NMS on 4-D conv-layout inputs == the XLA oracle,
+    bitwise (same gate as test_fused_late_decode_matches_xla, different
+    input layout)."""
+    rng = np.random.default_rng(59)
+    b, img, c = 3, 64, 20
+    cells, meta, consts, flat = _make_scales(rng, b, img, c)
+    conv = _to_conv(cells, meta)
+    raw = jnp.concatenate(flat, axis=1)
+    kw = dict(iou_thresh=0.45, valid_thresh=0.01, topk=40, post_nms=20)
+    ids_x, sc_x, bx_x = _oracle_late_decode(raw, consts, "xla", **kw)
+    ids_p, sc_p, bx_p = multiclass_nms_late_decode_fused(
+        conv, None, meta, backend="pallas_interpret", **kw
+    )
+    np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
+    np.testing.assert_array_equal(np.asarray(sc_p), np.asarray(sc_x))
+    np.testing.assert_array_equal(np.asarray(bx_p), np.asarray(bx_x))
+
+
+def test_forward_and_postprocess_tail_input_conv(monkeypatch):
+    """Whole-model gate for the VIDDET_TAIL_INPUT=conv staging flag: the
+    conv-layout fused path must be bit-identical to the default cells
+    path (and a typo'd flag value must fail loudly)."""
+    import pytest
+
+    from viddet_tpu.models.yolo3 import (
+        NMSConfig,
+        YOLOv3,
+        forward_and_postprocess,
+    )
+    from viddet_tpu.core.precision import Policy
+
+    policy = Policy(compute_dtype=jnp.float32, param_dtype=jnp.float32)
+    module = YOLOv3(num_classes=4, backbone="tiny", policy=policy)
+    images = jax.random.uniform(
+        jax.random.key(0), (2, 64, 64, 3), jnp.float32
+    )
+    variables = module.init(jax.random.key(1), images, train=False)
+    nms = NMSConfig(topk=40, post_nms=10, backend="pallas_interpret")
+
+    ref = forward_and_postprocess(module, variables, images, nms)
+    monkeypatch.setenv("VIDDET_TAIL_INPUT", "conv")
+    out = forward_and_postprocess(module, variables, images, nms)
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+
+    monkeypatch.setenv("VIDDET_TAIL_INPUT", "conf")
+    with pytest.raises(ValueError, match="VIDDET_TAIL_INPUT"):
+        forward_and_postprocess(module, variables, images, nms)

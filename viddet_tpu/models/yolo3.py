@@ -25,6 +25,7 @@ same ordering.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, List, Tuple
 
 import flax.linen as nn
@@ -123,6 +124,7 @@ class YOLOv3Head(nn.Module):
         num_pred = 5 + self.num_classes
         raws: List[jnp.ndarray] = []
         raws_cells: List[jnp.ndarray] = []
+        raws_conv: List[jnp.ndarray] = []
         consts = []
         route = None
         for i, (feat, ch) in enumerate(zip(feats, self.head_channels)):
@@ -150,6 +152,7 @@ class YOLOv3Head(nn.Module):
             b, h, w, _ = out.shape
             raws.append(out.reshape(b, h * w * na, num_pred))
             raws_cells.append(out.reshape(b, h * w, na * num_pred))
+            raws_conv.append(out)
             consts.append(_scale_constants(h, w, anchors[i], strides[i]))
 
         # Keep the big head tensor in compute dtype (bf16): the dense
@@ -216,6 +219,11 @@ class YOLOv3Head(nn.Module):
             # flat objectness logits for the fused gather-decode NMS path;
             # unused consumers are dead-code eliminated under jit.
             "raws_cells": tuple(raws_cells),
+            # The output convs' untouched 4-D (B, h, w, na*num_pred)
+            # tensors: the VIDDET_TAIL_INPUT=conv fused path consumes
+            # these directly so the cell-layout relayout copy above is
+            # DCE'd (bit-identical results; see forward_and_postprocess).
+            "raws_conv": tuple(raws_conv),
             "obj_logit": obj_logit,
         }
 
@@ -355,8 +363,20 @@ def forward_and_postprocess(module: YOLOv3, variables, images, nms: NMSConfig = 
             )
             for anc, st in zip(anchors, strides)
         )
+        # Trace-time knob (like every VIDDET_* flag — set before process
+        # start): "conv" feeds the kernels the output convs' native 4-D
+        # layout so the (B, h*w, lanes) relayout copy never materializes;
+        # bit-identical outputs (interpret-parity gated).  Staged opt-in
+        # until trace_tail/bench prove it on-chip (docs/perf_notes.md).
+        tail_input = os.environ.get("VIDDET_TAIL_INPUT", "cells")
+        if tail_input not in ("cells", "conv"):
+            # a typo'd flag silently measuring the wrong path would
+            # corrupt the flip decision — fail loudly
+            raise ValueError(
+                f"VIDDET_TAIL_INPUT {tail_input!r} is not 'cells' or 'conv'"
+            )
         return multiclass_nms_late_decode_fused(
-            outputs["raws_cells"],
+            outputs["raws_conv" if tail_input == "conv" else "raws_cells"],
             None,  # anchor scores via the Pallas score kernel
             meta,
             iou_thresh=nms.iou_thresh,

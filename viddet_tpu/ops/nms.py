@@ -390,8 +390,14 @@ def multiclass_nms_late_decode_fused(
     (~3 ms/batch-128 on v5e).
 
     Args:
-      raws_cells: per-scale (B, h*w, na*(5+C)) raw head outputs (the output
-        conv's natural layout, h/w merged), deepest scale first.
+      raws_cells: per-scale raw head outputs, deepest scale first — either
+        cell layout (B, h*w, na*(5+C)) or, under VIDDET_TAIL_INPUT=conv,
+        the output convs' untouched 4-D (B, h, w, na*(5+C)) (bit-identical
+        detections; the kernels take a padded cell view in-kernel so the
+        relayout copy never materializes — ops/nms_gather_pallas.py).
+        The stage-1 k is capped at the REAL anchor count either way, which
+        keeps score-0 pad rows unselectable (every real anchor score is a
+        sigmoid product > 0).
       anchor_score: optional precomputed (B, N) stage-1 scores; None builds
         them with the Pallas ``anchor_scores`` kernel (one read of the head
         tensors instead of the XLA reduce/concat chain).

@@ -58,6 +58,51 @@ def scale_constants_np(h: int, w: int, anchors, stride: int):
     return np.stack([gx, gy, aw, ah, st], axis=-1).reshape(-1, 5)
 
 
+# Sublane pad value for the conv-layout (4-D) input path.  Mosaic only
+# lowers the in-kernel (H, W, lanes) -> (H*W, lanes) merge when W is a
+# multiple of the 8-row sublane tile (probed on v5e: the unpadded W=13
+# merge is rejected — "tpu.reshape" vector<1x13x13x255> -> vector<169x255>
+# — while the padded merge compiles in bf16 AND f32), so W is padded up
+# and the kernels run on a PADDED cell space.  -1e9 makes pad rows inert
+# everywhere downstream, exactly:
+#   * anchor scores: sigmoid(-1e9) == 0.0 in f32 (exp(-1e9) == 0), so pad
+#     rows score exactly 0.0 < every real score (sigmoid products > 0) and
+#     the stage-1 threshold-select never picks them while k <= N_real;
+#   * the one-hot gather: 0 * -1e9 == -0.0 (finite — an inf pad would put
+#     NaNs in every dot), and +0.0 + -0.0 == +0.0, so gathered rows are
+#     bit-identical to the cells-layout path;
+#   * the 0.0-score-tie corner (a real row underflowing to exactly 0.0,
+#     tying with pads at the k-th slot): a selected pad row decodes to a
+#     zero-area box with pair scores exactly 0.0, which valid_thresh
+#     (> 0) filters just like the real 0.0-score row it displaced.
+# (-inf itself is rejected by Mosaic as a full() fill value — probed.)
+_CONV_PAD = -1e9
+
+
+def _conv_dims(shapes, meta):
+    """Per-scale (H, W, Wp) for 4-D conv-layout inputs, plus the PADDED
+    meta the kernels index with (cells -> H*Wp, width -> Wp)."""
+    dims, meta_pad = [], []
+    for shp, (cells, width, stride, anchors) in zip(shapes, meta):
+        h, w = shp[-3], shp[-2]
+        assert h * w == cells and w == width, (shp, cells, width)
+        wp = -(-w // 8) * 8
+        dims.append((h, w, wp))
+        meta_pad.append((h * wp, wp, stride, anchors))
+    return tuple(dims), tuple(meta_pad)
+
+
+def _cells_view(x, dims):
+    """(H, W, lanes) block value -> (H*Wp, lanes) padded cell view."""
+    h, w, wp = dims
+    if wp > w:
+        x = jnp.concatenate(
+            [x, jnp.full((h, wp - w, x.shape[-1]), _CONV_PAD, x.dtype)],
+            axis=1,
+        )
+    return x.reshape(h * wp, x.shape[-1])
+
+
 def _group_size(b: int, cap: int = 8) -> int:
     """Images per grid step: each step pays ~9 us of fixed sequencer/DMA
     overhead (measured on v5e) regardless of block size, which dominates
@@ -154,7 +199,9 @@ def _extract_top_m_rank(pairs, m, rows_chunk=64):
     return jnp.concatenate(vals, axis=0), jnp.concatenate(idxs, axis=0)
 
 
-def _make_kernel(g, meta, k, c, extract_m, hot_j, topm_variant="extract"):
+def _make_kernel(
+    g, meta, k, c, extract_m, hot_j, topm_variant="extract", conv_dims=None
+):
     """Kernel over a group of ``g`` images (see ``_group_size``).
 
     meta: static per-scale tuples (cells, width, stride, anchors) with
@@ -165,6 +212,12 @@ def _make_kernel(g, meta, k, c, extract_m, hot_j, topm_variant="extract"):
     topm_variant: "extract" (serial argmax-extract steps, production) or
     "rank" (parallel all-pairs rank, staged — see ``_extract_top_m_rank``);
     both produce bit-identical outputs.
+    conv_dims: if set, blocks arrive in the output conv's native 4-D
+    layout (H, W, na*(5+C)); ``meta`` must then be the PADDED meta and
+    the padded (H*Wp, lanes) cell view is taken in-kernel (see
+    ``_cells_view``/``_CONV_PAD`` — gathered rows stay bit-identical to
+    the cells-layout path because pad cells are never selected and the
+    one-hot's 0 * pad products are exact -0.0 terms).
     """
     na = len(meta[0][3])
     d = 5 + c
@@ -228,9 +281,12 @@ def _make_kernel(g, meta, k, c, extract_m, hot_j, topm_variant="extract"):
                 if raw_refs[sidx].dtype == jnp.float32
                 else jax.lax.Precision.DEFAULT
             )
+            x_s = raw_refs[sidx][gi]
+            if conv_dims is not None:
+                x_s = _cells_view(x_s, conv_dims[sidx])
             g255 = g255 + jnp.dot(
                 onehot,
-                raw_refs[sidx][gi],
+                x_s,
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )
@@ -460,7 +516,7 @@ def finalize_candidates(
     return cls_idx[:, :, 0], cand_boxes
 
 
-def _score_kernel(g, meta, num_pred):
+def _score_kernel(g, meta, num_pred, conv_dims=None):
     """Anchor scores straight from the cell-layout head tensors.
 
     score[cell, a] = sigmoid(obj_a) * sigmoid(max_c cls_a) — one read of
@@ -469,21 +525,30 @@ def _score_kernel(g, meta, num_pred):
     processes a group of ``g`` images (see ``_group_size``) but loops
     over them one at a time: full-block f32 intermediates at g=4 cost
     ~60 MiB of scoped VMEM, per-image ones stay under 1 MiB.
+
+    conv_dims: if set, blocks arrive as (H, W, na*num_pred) (the output
+    conv's native layout); ``meta`` must then be the PADDED meta and the
+    padded (H*Wp, lanes) cell view is taken in-kernel (``_cells_view``).
+    Pad rows are whole lanes of ``_CONV_PAD`` so their score is exactly
+    0.0 (sigmoid underflow) — strictly below every real row's score.
     """
 
     def kernel(*refs):
         raw_refs = refs[: len(meta)]
         out_refs = refs[len(meta) :]
         for gi in range(g):
-            for rref, oref, (cells, _, _, anchors) in zip(
-                raw_refs, out_refs, meta
+            for sidx, (rref, oref, (cells, _, _, anchors)) in enumerate(
+                zip(raw_refs, out_refs, meta)
             ):
+                x = rref[gi]
+                if conv_dims is not None:
+                    x = _cells_view(x, conv_dims[sidx])
                 cols = []
                 for a in range(len(anchors)):
                     o = a * num_pred
-                    obj = rref[gi, :, o + 4 : o + 5].astype(jnp.float32)
+                    obj = x[:, o + 4 : o + 5].astype(jnp.float32)
                     clsm = jnp.max(
-                        rref[gi, :, o + 5 : o + num_pred],
+                        x[:, o + 5 : o + num_pred],
                         axis=-1,
                         keepdims=True,
                     ).astype(jnp.float32)
@@ -493,7 +558,7 @@ def _score_kernel(g, meta, num_pred):
     return kernel
 
 
-def _score_kernel_masked(g, meta, num_pred):
+def _score_kernel_masked(g, meta, num_pred, conv_dims=None):
     """Lane-masked formulation of ``_score_kernel``.
 
     The slice variant reads per-anchor groups at lane offsets
@@ -513,10 +578,12 @@ def _score_kernel_masked(g, meta, num_pred):
         raw_refs = refs[: len(meta)]
         out_refs = refs[len(meta) :]
         for gi in range(g):
-            for rref, oref, (cells, _, _, anchors) in zip(
-                raw_refs, out_refs, meta
+            for sidx, (rref, oref, (cells, _, _, anchors)) in enumerate(
+                zip(raw_refs, out_refs, meta)
             ):
                 x = rref[gi]  # (cells, na*num_pred), raw dtype
+                if conv_dims is not None:
+                    x = _cells_view(x, conv_dims[sidx])
                 neg = jnp.asarray(-jnp.inf, x.dtype)
                 lane = jax.lax.broadcasted_iota(
                     jnp.int32, x.shape, dimension=1
@@ -564,6 +631,35 @@ def anchor_scores(
     b = raws[0].shape[0]
     na = len(meta[0][3])
     num_pred = raws[0].shape[-1] // na
+    # 4-D inputs = the output convs' native (B, H, W, na*num_pred) layout
+    # (VIDDET_TAIL_INPUT=conv): block per image, padded cell view taken
+    # in-kernel (``_cells_view``), which lets XLA drop the (B, h*w, lanes)
+    # relayout copy of the head tensors (~0.46 GB/batch-128 of HBM
+    # traffic) from the program.  Scores then come back in the PADDED
+    # (scale, gy, gx<Wp, anchor) index space — gather_decode_pairs on
+    # conv inputs derives the same padded meta, and pad rows score
+    # exactly 0.0, so downstream selection is unchanged (see _CONV_PAD).
+    conv_input = raws[0].ndim == 4
+    if conv_input:
+        conv_dims, meta_k = _conv_dims([r.shape for r in raws], meta)
+        in_specs = [
+            pl.BlockSpec(
+                (1, h, w, na * num_pred),
+                lambda ii: (ii, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for h, w, _wp in conv_dims
+        ]
+    else:
+        conv_dims, meta_k = None, meta
+        in_specs = [
+            pl.BlockSpec(
+                (1, m[0], na * num_pred),
+                lambda ii: (ii, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for m in meta
+        ]
     # g=1 (measured): 4-wide grouping left this kernel's time unchanged
     # (1.09 -> 1.11 ms/batch-128) while the (g, cells, na) f32 output
     # windows pad na -> 128 lanes (43x useful bytes) — not worth it.
@@ -572,22 +668,15 @@ def anchor_scores(
         _score_kernel_masked if variant == "masked" else _score_kernel
     )
     outs = pl.pallas_call(
-        make_kernel(g, meta, num_pred),
+        make_kernel(g, meta_k, num_pred, conv_dims),
         grid=(b // g,),
-        in_specs=[
-            pl.BlockSpec(
-                (g, m[0], na * num_pred),
-                lambda ii: (ii, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-            for m in meta
-        ],
+        in_specs=in_specs,
         out_specs=tuple(
             pl.BlockSpec((g, m[0], na), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM)
-            for m in meta
+            for m in meta_k
         ),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((b, m[0], na), jnp.float32) for m in meta
+            jax.ShapeDtypeStruct((b, m[0], na), jnp.float32) for m in meta_k
         ),
         cost_estimate=pl.CostEstimate(
             flops=sum(r.size for r in raws),
@@ -618,9 +707,12 @@ def gather_decode_pairs(
     """Fused per-scale gather -> late decode -> (boxes, pair scores).
 
     Args:
-      raws: per-scale raw head tensors in CELL layout, each
-        (B, h*w, na*(5+C)), any float dtype (bf16 on the hot path), deepest
-        scale first — exactly ``conv_out.reshape(B, h*w, -1)``.
+      raws: per-scale raw head tensors, each either CELL layout
+        (B, h*w, na*(5+C)) — exactly ``conv_out.reshape(B, h*w, -1)`` — or
+        the output conv's native 4-D layout (B, h, w, na*(5+C))
+        (VIDDET_TAIL_INPUT=conv; bit-identical outputs, saves the relayout
+        copy).  Any float dtype (bf16 on the hot path), deepest scale
+        first.
       a_idx: (B, K) int32 stage-1 winner indices into the concatenated
         (scale, row, col, anchor) ordering, deepest scale first.
       meta: static per-scale config ``(cells, width, stride, anchors)``
@@ -643,19 +735,37 @@ def gather_decode_pairs(
     na = len(meta[0][3])
     c = raws[0].shape[-1] // na - 5
     k = a_idx.shape[-1]
+    # 4-D inputs: native conv layout, padded cell view in-kernel;
+    # ``a_idx`` must then be indices into the PADDED flattening — i.e.
+    # produced by the stage-1 top-k over ``anchor_scores`` of the same
+    # conv-layout tensors (see ``anchor_scores`` — VIDDET_TAIL_INPUT=conv).
+    conv_input = raws[0].ndim == 4
     # g=1 (measured): grouping grid steps 4-wide REGRESSED this kernel
     # 1.95 -> 2.30 ms/batch-128 — whole-image blocks already pipeline
     # their big DMAs, and wider blocks only add VMEM pressure.  Grouping
     # pays off only for tiny-buffer kernels (see finalize_candidates).
     g = 1
-    kernel = _make_kernel(g, meta, k, c, extract_m, hot_j, topm_variant)
-
-    in_specs = [
-        pl.BlockSpec(
-            (g, m[0], na * (5 + c)), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM
-        )
-        for m in meta
-    ]
+    if conv_input:
+        conv_dims, meta_k = _conv_dims([r.shape for r in raws], meta)
+        in_specs = [
+            pl.BlockSpec(
+                (g, h, w, na * (5 + c)),
+                lambda ii: (ii, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for h, w, _wp in conv_dims
+        ]
+    else:
+        conv_dims, meta_k = None, meta
+        in_specs = [
+            pl.BlockSpec(
+                (g, m[0], na * (5 + c)), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM
+            )
+            for m in meta
+        ]
+    kernel = _make_kernel(
+        g, meta_k, k, c, extract_m, hot_j, topm_variant, conv_dims
+    )
     in_specs += [
         pl.BlockSpec((g, 1, k), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM)
     ]
