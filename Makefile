@@ -5,9 +5,10 @@
 test:
 	python -m pytest tests/ -x -q
 
-# everything except @pytest.mark.slow (overfit gates, R50 equality) —
-# ~11 min on this 1-core box (compile-bound; measured r5: 235 tests,
-# 11:09 quiet / 11:13 while a chip bench ran concurrently)
+# everything except @pytest.mark.slow (overfit gates, R50 equality,
+# family all-reduce compile gates) — measured r5 tail session: 235
+# tests, 9:52 quiet on this 1-core box (compile-bound; was 11:09
+# before the family DP gates and the graft-entry trace moved to slow)
 test-fast:
 	python -m pytest tests/ -x -q -m "not slow"
 

@@ -92,9 +92,13 @@ def test_bench_cpu_smoke_prints_metric_json():
     assert payload["batch"] == 2 and "vs_baseline" not in payload  # 416-only
 
 
+@pytest.mark.slow
 def test_graft_entry_single_chip_traces():
     """The driver's single-chip GRAFT check calls ``entry()`` and jits fn
-    on the real chip; gate the host-side half here (~30s on 1 CPU core):
+    on the real chip; gate the host-side half here (~30s on 1 CPU core —
+    slow since the round-5 tail session: the driver itself exercises
+    entry() every round, and the flagship forward it wraps is covered by
+    the fast suite's model/NMS gates, so this is full-suite insurance):
     entry() must import, init its params, and TRACE (``jax.eval_shape``,
     no compile) with its own example_args, yielding the (scores, ids,
     boxes) triple at the static post-NMS width.  Pins the conftest

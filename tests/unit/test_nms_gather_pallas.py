@@ -468,7 +468,19 @@ def test_conv_input_bit_exact():
     from viddet_tpu.ops.nms_gather_pallas import anchor_scores
 
     rng = np.random.default_rng(53)
-    for dtype in (jnp.bfloat16, jnp.float32):
+    # One interpret-mode jit per load-bearing combination (each costs
+    # ~2-3s of fast-suite time): both score variants and the hier gather
+    # in production bf16; the dense gather additionally in f32, which
+    # exercises the Precision.HIGHEST one-hot branch.
+    k, m_, j = 40, 9, 5
+    for dtype, variants, gather_kws in (
+        (
+            jnp.bfloat16,
+            ("slice", "masked"),
+            (dict(), dict(extract_m=m_, hot_j=j)),
+        ),
+        (jnp.float32, (), (dict(),)),
+    ):
         cells, meta, consts, _flat = _make_scales(
             rng, b=2, img=64, c=20, dtype=dtype
         )
@@ -476,7 +488,7 @@ def test_conv_input_bit_exact():
         to_pad, n_pad = _pad_space(meta)
         n = consts.shape[0]
         pad_pos = np.array([to_pad(i) for i in range(n)])
-        for variant in ("slice", "masked"):
+        for variant in variants:
             ref = np.asarray(
                 anchor_scores(
                     tuple(cells), meta, interpret=True, variant=variant
@@ -491,11 +503,10 @@ def test_conv_input_bit_exact():
             mask[pad_pos] = False
             # pad rows must score EXACTLY 0.0 — the unselectability proof
             np.testing.assert_array_equal(out[:, mask], 0.0)
-        k, m_, j = 40, 9, 5
         a_idx = rng.integers(0, n, size=(2, k)).astype(np.int32)
         a_idx_pad = jnp.asarray(np.vectorize(to_pad)(a_idx))
         a_idx = jnp.asarray(a_idx)
-        for kw in (dict(), dict(extract_m=m_, hot_j=j)):
+        for kw in gather_kws:
             ref = gather_decode_pairs(
                 tuple(cells), a_idx, meta, interpret=True, **kw
             )
