@@ -368,6 +368,13 @@ def test_fused_late_decode_fuzz_configs():
         (2, 96, 20, 160, 40),
         (1, 32, 6, 400, 32),
     ]
+    # Layouts fuzzed per config: every case runs the cells layout; the
+    # starred ones ALSO run the 4-D conv layout (VIDDET_TAIL_INPUT=conv
+    # equivalent), chosen for maximal sublane padding — img=32 gives
+    # W=1/2/4 -> Wp=8 (and topk=400 > n_real=63 exercises the
+    # k-capped-at-real-N pad-unselectability invariant), img=96 gives
+    # W=3/6/12 -> Wp=8/8/16.
+    conv_cases = {0, 3, 4}
     for seed, (b, img, c, topk, post_nms) in enumerate(cases, start=50):
         rng = np.random.default_rng(seed)
         cells, meta, consts, flat = _make_scales(
@@ -377,13 +384,17 @@ def test_fused_late_decode_fuzz_configs():
         kw = dict(iou_thresh=0.45, valid_thresh=0.01, topk=topk,
                   post_nms=post_nms)
         ids_x, sc_x, bx_x = _oracle_late_decode(raw, consts, "xla", **kw)
-        ids_p, sc_p, bx_p = multiclass_nms_late_decode_fused(
-            tuple(cells), None, meta, backend="pallas_interpret", **kw
-        )
-        msg = f"config {(b, img, c, topk, post_nms)}"
-        np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x), err_msg=msg)
-        np.testing.assert_array_equal(np.asarray(sc_p), np.asarray(sc_x), err_msg=msg)
-        np.testing.assert_array_equal(np.asarray(bx_p), np.asarray(bx_x), err_msg=msg)
+        layouts = [tuple(cells)]
+        if seed - 50 in conv_cases:
+            layouts.append(_to_conv(cells, meta))
+        for raws_in in layouts:
+            ids_p, sc_p, bx_p = multiclass_nms_late_decode_fused(
+                raws_in, None, meta, backend="pallas_interpret", **kw
+            )
+            msg = f"config {(b, img, c, topk, post_nms)} ndim={raws_in[0].ndim}"
+            np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x), err_msg=msg)
+            np.testing.assert_array_equal(np.asarray(sc_p), np.asarray(sc_x), err_msg=msg)
+            np.testing.assert_array_equal(np.asarray(bx_p), np.asarray(bx_x), err_msg=msg)
 
 
 def test_fused_bf16_tie_latitude_is_score_multiset_only(monkeypatch):
