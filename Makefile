@@ -6,9 +6,9 @@ test:
 	python -m pytest tests/ -x -q
 
 # everything except @pytest.mark.slow (overfit gates, R50 equality,
-# family all-reduce compile gates) — measured r5 tail session: 235
-# tests, 9:52 quiet on this 1-core box (compile-bound; was 11:09
-# before the family DP gates and the graft-entry trace moved to slow)
+# family all-reduce compile gates) — measured r5 final tail session:
+# 239 tests, 10:56 on this 1-core box (compile-bound; includes the
+# export-artifact gates added after the 9:52 measurement)
 test-fast:
 	python -m pytest tests/ -x -q -m "not slow"
 
